@@ -1,0 +1,74 @@
+"""Runtime configuration.
+
+The reference hides every knob behind compile-time defines or hard-coded
+literals (gpu/CMakeLists.txt:4-15 layout/partitioning defines; aliasing=3 at
+gpu/rt.cpp:67; MAX_BOUNCE=10 at gpu/raytracer.cu:113; reflection cutoff 0.01 at
+cpu/raytracer.c:21; self-hit epsilon 0.01 at cpu/hit.c:59; Möller–Trumbore
+EPSILON=1e-7 at cpu/hit.c:4). Here they are a single runtime dataclass; the
+reference's 3x3 compile-time LAYOUT x PARTITIONING build matrix becomes the
+runtime `partitioning` / `backend` fields (the TPU build has exactly one
+memory layout — padded SoA device arrays, the analog of LAYOUT_SOA, which the
+reference itself defaults to at gpu/CMakeLists.txt:7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All runtime knobs for a render.
+
+    Attributes:
+      mode: "cpu" reproduces the CPU reference pipeline (2x2 supersampling with
+        0.25 weights, cpu/raytracer.c:55-68; recursion until attenuation
+        coef < 0.01, cpu/raytracer.c:19-34). "gpu" reproduces the GPU pipeline
+        (render at `aliasing`x resolution with one ray per hi-res pixel, then
+        box-downscale, gpu/rt.cpp:67-96 + gpu/raytracer.cu:49-128; iterative
+        bounce loop capped at MAX_BOUNCE).
+      quantize: "match" clamps to [0,255] at every color op exactly like
+        cpu/colors.c (bit-matching the oracle, but non-differentiable);
+        "smooth" computes shading in linear f32 and clamps once at the end
+        (differentiable; allclose to the oracle away from clamp boundaries).
+      partitioning: "none" | "aabb" | "octree" — runtime analog of the
+        reference's PARTITIONING_* compile-time matrix (gpu/CMakeLists.txt:12-15).
+      backend: "jnp" (pure-XLA batched path) or "pallas" (hand-written TPU
+        kernels for the intersection hot loop).
+      max_bounce: bounce cap for "gpu" mode (gpu/raytracer.cu:113).
+      cpu_max_depth: safety cap on the emulated recursion depth in "cpu" mode
+        (the reference recursion terminates via coef < cutoff; we unroll to a
+        static depth derived from max material nr, capped here).
+      reflect_cutoff: attenuation cutoff (cpu/raytracer.c:21, gpu/raytracer.cu:122).
+      self_hit_eps: minimum accepted hit distance (cpu/hit.c:59).
+      mt_eps: Möller–Trumbore determinant/t epsilon (cpu/hit.c:4).
+      aliasing: supersampling factor for "gpu" mode (gpu/rt.cpp:67).
+      ray_chunk: rays processed per XLA program instance (memory tiling of the
+        R x T intersection problem on the jnp backend).
+      pad_triangles: pad triangle count to a multiple of this (TPU lane dim).
+      pad_objects: pad object count to a multiple of this.
+    """
+
+    mode: str = "cpu"
+    quantize: str = "match"
+    partitioning: str = "none"
+    backend: str = "jnp"
+    max_bounce: int = 10
+    cpu_max_depth: int = 16
+    reflect_cutoff: float = 0.01
+    self_hit_eps: float = 0.01
+    mt_eps: float = 1e-7
+    aliasing: int = 3
+    ray_chunk: int = 8192
+    pad_triangles: int = 128
+    pad_objects: int = 8
+
+    def __post_init__(self):
+        if self.mode not in ("cpu", "gpu"):
+            raise ValueError(f"mode must be 'cpu' or 'gpu', got {self.mode!r}")
+        if self.quantize not in ("match", "smooth"):
+            raise ValueError(f"quantize must be 'match' or 'smooth', got {self.quantize!r}")
+        if self.partitioning not in ("none", "aabb", "octree"):
+            raise ValueError(f"bad partitioning {self.partitioning!r}")
+        if self.backend not in ("jnp", "pallas"):
+            raise ValueError(f"bad backend {self.backend!r}")

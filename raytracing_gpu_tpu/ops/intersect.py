@@ -1,0 +1,163 @@
+"""Batched Möller–Trumbore intersection and nearest-hit selection.
+
+TPU-native recast of the reference's per-thread scalar loops:
+
+- `ray_intersect` (cpu/hit.c:4-44, gpu/hit.cu:8-78): Möller–Trumbore with
+  EPSILON=1e-7, returning hit point `origin + normalize(dir)*(t*|dir|)` and
+  the barycentric-interpolated smooth normal over per-vertex-normalized
+  normals (NOT renormalized after interpolation — downstream shading uses the
+  unnormalized interpolated N, a load-bearing quirk).
+- `triangle_collide`/`collide` (cpu/hit.c:46-91): nearest hit with strict
+  `dist > 0.01` acceptance and first-strictly-smaller selection. Because the
+  triangle arrays are stored object-major in the same iteration order as the
+  reference, a flat first-occurrence argmin picks the identical winner.
+- `collide_dist` (cpu/hit.c:93-109): nearest-hit distance only (shadow rays),
+  returning 0.0 on miss (the reference's miss sentinel).
+
+Instead of one CUDA thread per ray with an inner scalar triangle loop, every
+(ray, triangle) pair is evaluated as rectangular [R, T] vector ops that XLA
+tiles onto the 8x128 VPU lanes, and the winner is a masked argmin. Control
+flow (early-outs at cpu/hit.c:21-31) becomes mask predication.
+
+Known deviation (documented): the reference drops an *entire object* when its
+nearest triangle's interpolated normal is exactly the zero vector
+(vector3_is_zero test at cpu/hit.c:79); we drop only the individual triangle.
+This requires an exact-zero interpolated normal to differ, which no corpus
+scene triggers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass
+class Hit:
+    """Nearest-hit result for a batch of R rays."""
+
+    point: Any  # (R,3) hit point (garbage when ~mask)
+    normal: Any  # (R,3) interpolated UNnormalized normal
+    obj: Any  # (R,) int32 owning object index
+    dist: Any  # (R,) distance |point - origin| (inf when ~mask)
+    mask: Any  # (R,) bool — True if the ray hit anything
+
+
+jax.tree_util.register_pytree_node(
+    Hit,
+    lambda h: ((h.point, h.normal, h.obj, h.dist, h.mask), None),
+    lambda _, c: Hit(*c),
+)
+
+
+def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps):
+    """All-pairs Möller–Trumbore.
+
+    origins/dirs: (R,3). vertices/normals: (T,3,3). valid: (T,) bool.
+    Returns (dist[R,T], u[R,T], v[R,T], t[R,T], ok[R,T]) with dist=inf when
+    not ok. Follows cpu/hit.c:4-70 arithmetic exactly.
+    """
+    v0 = vertices[:, 0]  # (T,3)
+    v1 = vertices[:, 1]
+    v2 = vertices[:, 2]
+    edge1 = v1 - v0  # (T,3)
+    edge2 = v2 - v0
+
+    d = dirs[:, None, :]  # (R,1,3)
+    o = origins[:, None, :]
+
+    h = jnp.cross(d, edge2[None, :, :])  # (R,T,3)
+    a = jnp.sum(edge1[None, :, :] * h, axis=-1)  # (R,T)
+    ok = jnp.abs(a) >= mt_eps  # reject -eps < a < eps (cpu/hit.c:21-22)
+    f = 1.0 / jnp.where(ok, a, 1.0)
+    s = o - v0[None, :, :]  # (R,T,3)
+    u = f * jnp.sum(s * h, axis=-1)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    q = jnp.cross(s, edge1[None, :, :])  # (R,T,3)
+    v = f * jnp.sum(d * q, axis=-1)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * jnp.sum(edge2[None, :, :] * q, axis=-1)
+    ok &= t > mt_eps  # cpu/hit.c:33
+
+    # The reference computes out = origin + normalize(dir) * (t*|dir|)
+    # (cpu/hit.c:36-38) and dist = |out - origin| (cpu/hit.c:57). We return
+    # dist = t*|dir| which is the same value up to f32 rounding; the hit
+    # point itself is reconstructed by the caller for the winner only.
+    # (zero-length dirs only occur on dead/masked ray lanes; guard keeps
+    # them NaN-free so gradients can't be poisoned through jnp.where)
+    dlen2 = jnp.sum(dirs * dirs, axis=-1)  # (R,)
+    dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
+    dist = t * dlen[:, None]
+    ok &= dist > self_hit_eps  # cpu/hit.c:59
+    ok &= valid[None, :]
+    return jnp.where(ok, dist, INF), u, v, t, ok
+
+
+def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01) -> Hit:
+    """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
+
+    Differentiable: the winner index is discrete (piecewise-constant) but the
+    winning triangle's hit point / normal / distance carry gradients to the
+    gathered geometry.
+    """
+    dist, u, v, t, ok = _mt_core(
+        origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
+        mt_eps, self_hit_eps,
+    )
+    win = jnp.argmin(dist, axis=1)  # first occurrence == reference tie-break
+    R = origins.shape[0]
+    rix = jnp.arange(R)
+    wdist = dist[rix, win]
+    mask = jnp.isfinite(wdist)
+
+    wu = u[rix, win]
+    wv = v[rix, win]
+    wt = t[rix, win]
+    tri_v = geometry.vertices[win]  # (R,3,3)
+    tri_n = geometry.normals[win]
+
+    # Hit point: origin + normalize(dir) * (t * |dir|)  (cpu/hit.c:36-38)
+    dlen2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+    dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
+    ndir = dirs / dlen
+    point = origins + ndir * (wt[:, None] * dlen)
+
+    # Smooth normal: per-vertex normalize THEN barycentric interpolation,
+    # never renormalized (cpu/hit.c:10-12, 38-40).
+    nlen2 = jnp.sum(tri_n * tri_n, axis=-1, keepdims=True)
+    nn = tri_n / jnp.sqrt(jnp.where(nlen2 > 0.0, nlen2, 1.0))
+    normal = (
+        nn[:, 0] * (1.0 - wu - wv)[:, None]
+        + nn[:, 1] * wu[:, None]
+        + nn[:, 2] * wv[:, None]
+    )
+    # Reference treats a zero interpolated normal as a miss
+    # (vector3_is_zero at cpu/hit.c:79).
+    nz = jnp.any(normal != 0.0, axis=-1)
+    mask &= nz
+
+    return Hit(
+        point=point,
+        normal=normal,
+        obj=geometry.tri_obj[win],
+        dist=jnp.where(mask, wdist, INF),
+        mask=mask,
+    )
+
+
+def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01):
+    """Nearest-hit distance, 0.0 on miss — `collide_dist` (cpu/hit.c:93-109).
+
+    Used for shadow rays; cheaper than `collide` (no winner gather).
+    """
+    dist, _, _, _, _ = _mt_core(
+        origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
+        mt_eps, self_hit_eps,
+    )
+    m = jnp.min(dist, axis=1)
+    return jnp.where(jnp.isfinite(m), m, 0.0)

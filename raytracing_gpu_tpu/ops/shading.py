@@ -1,0 +1,120 @@
+"""Phong shading with hard shadows — `apply_light` semantics.
+
+Reproduces cpu/light.c (and its GPU twin gpu/light.cu) including every quirk:
+
+- AMBIENT: light_rgb (*) ka  (cpu/light.c:44-50).
+- DIRECTIONAL (cpu/light.c:51-74): shadow ray from the hit point with
+  direction -light.v; if unoccluded, diffuse = (light_rgb (*) kd) * dot(L, N)
+  with L = -light.v and N the UNnormalized interpolated normal; then specular
+  with an incident ray of direction light.v whose origin is offset by
+  -10*direction from the hit point (cpu/light.c:62-66).
+- POINT (cpu/light.c:69-97): QUIRK — L = -light.v, i.e. the light *position*
+  negated, not a direction toward the light; N is flipped when dot(L,N) < 0;
+  shadow ray direction = light.v - hit (unnormalized); diffuse scaled by
+  dot(L,N) * 1/dist with dist = |light.v - hit|; specular incident direction
+  = light.v - hit with the same -10 origin offset. The specular normal is the
+  ORIGINAL unflipped N (the reference passes `point` by value).
+- Shadow test `has_direct_hit` (cpu/light.c:24-31): the nested
+  `if (fdist < 1) if (fdist == 0)` makes the distance check dead code — ANY
+  hit occludes, regardless of distance to the light. Reproduced: occluded
+  iff collide_dist != 0.
+- Specular `apply_specular` (cpu/light.c:7-22): V = incident.origin - hit,
+  R = incident.dir - 2*dot(N, incident.dir)*N, Ls = max(dot(R^,V^),0)^ns,
+  contribution ks * Ls (with pow(0,0)=1, so ns=0 gives constant specular —
+  another reproduced reference behavior).
+
+Light *types* are static scene structure, so the light loop is specialized in
+Python per light: ambient lights cost two vector ops; only directional/point
+lights pay for a batched shadow `collide_dist`. Within each light the math is
+mask-predicated over the whole ray batch (TPU-uniform control flow).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracing_gpu_tpu.models.scene import AMBIENT, DIRECTIONAL, POINT
+from raytracing_gpu_tpu.ops.colors import ColorOps
+from raytracing_gpu_tpu.ops.intersect import Hit, collide_dist
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(a):
+    # exact when |a| > 0; guarded against 0/0 on dead/masked lanes so that
+    # backward-mode cotangents stay NaN-free
+    s = jnp.sum(a * a, axis=-1, keepdims=True)
+    return a / jnp.sqrt(jnp.where(s > 0.0, s, 1.0))
+
+
+def apply_specular(color, inc_origin, inc_dir, hit_point, normal, ks, ns, cops: ColorOps):
+    """apply_specular (cpu/light.c:7-22). All args batched (R,...)."""
+    kcolor = cops.init(ks)
+    V = inc_origin - hit_point
+    R = inc_dir - normal * (2.0 * _dot(normal, inc_dir))[:, None]
+    Rn = _normalize(R)
+    Vn = _normalize(V)
+    Ls = jnp.power(jnp.maximum(_dot(Rn, Vn), 0.0), ns)
+    return cops.add(color, cops.mul(kcolor, Ls[:, None]))
+
+
+def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01):
+    """apply_light (cpu/light.c:33-99) for a batch of hits.
+
+    Returns (R,3) colors in the cops domain. Rays with hit.mask False get
+    garbage (caller masks). Lights accumulate in declaration order with the
+    reference's clamped accumulation.
+    """
+    R = hit.point.shape[0]
+    lights = scene.lights
+    mats = scene.materials
+    ka = mats.ka[hit.obj]  # (R,3)
+    kd = mats.kd[hit.obj]
+    ks = mats.ks[hit.obj]
+    ns = mats.ns[hit.obj]
+    N = hit.normal
+    hp = hit.point
+
+    color = cops.zeros((R,))
+    for li, kind in enumerate(lights.kind):  # static structure; unrolled
+        rgb = lights.rgb[li]  # (3,)
+        lv = lights.v[li]  # (3,)
+        lrgb = cops.init(jnp.broadcast_to(rgb, (R, 3)))
+
+        if kind == AMBIENT:
+            contrib = cops.mul2(lrgb, cops.init(ka))
+        elif kind == DIRECTIONAL:
+            shadow_dir = jnp.broadcast_to(-lv, (R, 3))
+            fdist = collide_dist(hp, shadow_dir, scene.geometry, mt_eps, self_hit_eps)
+            occluded = fdist != 0.0  # has_direct_hit quirk (cpu/light.c:24-31)
+            Ldir = jnp.broadcast_to(-lv, (R, 3))
+            dif = cops.mul(cops.mul2(lrgb, cops.init(kd)), _dot(Ldir, N)[:, None])
+            inc_dir = jnp.broadcast_to(lv, (R, 3))
+            inc_org = hp + inc_dir * -10.0
+            con = apply_specular(dif, inc_org, inc_dir, hp, N, ks, ns, cops)
+            contrib = jnp.where(occluded[:, None], 0.0, con)
+        elif kind == POINT:
+            Lp = jnp.broadcast_to(-lv, (R, 3))
+            flip = _dot(Lp, N) < 0.0
+            Np = jnp.where(flip[:, None], -N, N)
+            dvec = lv[None, :] - hp
+            dist = jnp.sqrt(_dot(dvec, dvec))
+            fdist = collide_dist(hp, dvec, scene.geometry, mt_eps, self_hit_eps)
+            occluded = fdist != 0.0
+            # guard: dist == 0 only when the hit point IS the light position
+            # (the reference would divide by zero there too)
+            safe_dist = jnp.where(dist > 0.0, dist, 1.0)
+            dif = cops.mul(
+                cops.mul2(lrgb, cops.init(kd)),
+                (_dot(Lp, Np) * (1.0 / safe_dist))[:, None],
+            )
+            inc_dir = dvec
+            inc_org = hp + inc_dir * -10.0
+            con = apply_specular(dif, inc_org, inc_dir, hp, N, ks, ns, cops)
+            contrib = jnp.where(occluded[:, None], 0.0, con)
+        else:  # default: continue (cpu/light.c:94-96)
+            continue
+        color = cops.add(color, contrib)
+    return color

@@ -1,0 +1,209 @@
+"""Render orchestration — the TPU-native `raytrace` / `render`.
+
+The reference orchestrates with 4 pthreads over image quadrants on CPU
+(cpu/raytracer.c:92-127) and one CUDA thread per hi-res pixel on GPU
+(gpu/raytracer.cu:87-128). Here the whole image is a single batched XLA
+program: rays are generated for every (pixel, subsample), traced in chunks
+(static-shape `lax.map` over ray tiles — the memory-tiling analog of CUDA's
+16x16 thread blocks), and the recursive `trace` (cpu/raytracer.c:19-34) is
+unrolled to a static depth with per-ray live masks (TPU-uniform control flow
+instead of CUDA thread divergence).
+
+Recursion emulation: `trace(ray, coef)` contributes
+`color_mul(shade(hit), coef)` at every level and recurses with
+`coef' = nr * coef` until `coef < 0.01` (cpu/raytracer.c:21,29) or a miss.
+Because `color_add` saturates at 255, association order matters: the
+reference folds deepest-bounce-first; we record per-bounce contributions
+forward and fold them in reverse, reproducing the exact clamp order.
+
+The static unroll depth is derived per scene from max(nr): coef after b
+bounces is at most max_nr^b, so depth = min(cap, smallest b with
+max_nr^b < cutoff). Scenes with max_nr >= 1 would recurse forever on the
+CPU reference (the GPU caps at MAX_BOUNCE=10, gpu/raytracer.cu:113); we cap
+at config.cpu_max_depth.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_gpu_tpu.config import RenderConfig
+from raytracing_gpu_tpu.models.scene import Scene, scene_to_device
+from raytracing_gpu_tpu.ops import camera as camera_ops
+from raytracing_gpu_tpu.ops.colors import ColorOps
+from raytracing_gpu_tpu.ops.intersect import collide
+from raytracing_gpu_tpu.ops.shading import shade
+
+
+def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
+    """Static recursion depth: smallest D with max_nr^D < cutoff.
+
+    Level b in [0, D) contributes when coef = prod(nr) >= cutoff; coef at
+    level b is at most max_nr^b, so levels >= D are always black.
+    """
+    if max_nr <= 0.0:
+        return 1
+    if max_nr >= 1.0:
+        return cap
+    d = int(math.ceil(math.log(cutoff) / math.log(max_nr)))
+    return max(1, min(cap, d))
+
+
+def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int):
+    """Emulate the recursive trace() for a batch of rays; returns (R,3) colors
+    in the ColorOps domain selected by cfg.quantize."""
+    cops = ColorOps(cfg.quantize)
+    R = origins.shape[0]
+    coef = jnp.ones((R,), jnp.float32)
+    alive = jnp.ones((R,), bool)
+    contribs = []
+    o, d = origins, dirs
+    for _ in range(depth):
+        entered = alive & (coef >= cfg.reflect_cutoff)  # trace() entry check
+        hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps)
+        use = entered & hit.mask
+        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps)
+        contribs.append(jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
+        # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
+        n = hit.normal
+        refl_dir = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
+        o = jnp.where(use[:, None], hit.point, o)
+        d = jnp.where(use[:, None], refl_dir, d)
+        nr = scene.materials.nr[hit.obj]
+        coef = jnp.where(use, nr * coef, 0.0)
+        alive = use
+    # Fold deepest-first to reproduce the reference's clamped add order
+    # (trace returns color_add(reflection, local*coef), cpu/raytracer.c:31).
+    out = cops.zeros((R,))
+    for c in reversed(contribs):
+        out = cops.add(out, c)
+    return out
+
+
+def _trace_chunked(scene, origins, dirs, cfg, depth):
+    """lax.map over ray chunks to bound the R x T working set."""
+    R = origins.shape[0]
+    chunk = min(cfg.ray_chunk, R)
+    pad = (-R) % chunk
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+    oc = origins.reshape(-1, chunk, 3)
+    dc = dirs.reshape(-1, chunk, 3)
+    f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth)
+    colors = jax.lax.map(f, (oc, dc))
+    return colors.reshape(-1, 3)[:R]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "depth", "width", "height"))
+def _render_cpu_mode(scene: Scene, coords, cfg: RenderConfig, depth: int, width: int, height: int):
+    """CPU-reference pipeline: 2x2 supersampling, 0.25 weights, clamp-order
+    accumulation (cpu/raytracer.c:50-70). coords: (H,W,4,2)."""
+    cops = ColorOps(cfg.quantize)
+    u, v, C = camera_ops.camera_basis(scene.camera)
+    pos = jnp.asarray(scene.camera.position, jnp.float32)
+    flat = coords.reshape(-1, 2)
+    origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
+    colors = _trace_chunked(scene, origins, dirs, cfg, depth)  # (H*W*4,3)
+    sub = colors.reshape(height, width, 4, 3)
+    # accumulate in the reference's subsample order with clamped ops
+    acc = cops.zeros((height, width))
+    for s in range(4):
+        acc = cops.add(acc, cops.mul(sub[:, :, s, :], 0.25))
+    return cops.finalize(acc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height: int):
+    """GPU-reference pipeline: render at aliasing*dims with one ray per hi-res
+    pixel, iterative bounce loop capped at max_bounce (gpu/raytracer.cu:107-122),
+    then box-downscale (gpu/raytracer.cu:49-85).
+
+    The GPU bounce loop is a do/while: `tmp = trace(); color += tmp*nr_acc;
+    nr_acc *= hit.nr; while (nr_acc > 0.01 && MAX_BOUNCE-- > 0)`. Note it
+    differs from the CPU recursion: accumulation is shallow-first saturating
+    add (uint8 in the reference; we keep the cpu-colors float [0,255] clamp
+    domain, matching cpu/colors.c rather than the uint8 roundtrip), and entry
+    is unconditional for the first bounce.
+    """
+    cops = ColorOps(cfg.quantize)
+    hw, hh = width * cfg.aliasing, height * cfg.aliasing
+    u, v, C = camera_ops.camera_basis(scene.camera)
+    pos = jnp.asarray(scene.camera.position, jnp.float32)
+    flat = coords.reshape(-1, 2)
+    origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
+
+    def trace_gpu(od):
+        o, d = od
+        R = o.shape[0]
+        color = cops.zeros((R,))
+        nr_acc = jnp.ones((R,), jnp.float32)
+        alive = jnp.ones((R,), bool)
+        for b in range(cfg.max_bounce + 1):
+            hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps)
+            use = alive & hit.mask
+            local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps)
+            color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
+            n = hit.normal
+            refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
+            o = jnp.where(use[:, None], hit.point, o)
+            d = jnp.where(use[:, None], refl, d)
+            nr = jnp.where(use, scene.materials.nr[hit.obj], 0.0)
+            nr_acc = nr_acc * nr
+            alive = use & (nr_acc > cfg.reflect_cutoff)
+        return color
+
+    R = origins.shape[0]
+    chunk = min(cfg.ray_chunk, R)
+    pad = (-R) % chunk
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+    colors = jax.lax.map(trace_gpu, (origins.reshape(-1, chunk, 3), dirs.reshape(-1, chunk, 3)))
+    hi = cops.finalize(colors.reshape(-1, 3)[:R].reshape(hh, hw, 3))
+    # downscale: box average of aliasing^2 texels (gpu/raytracer.cu:68-80):
+    # sums uint8-quantized texels, /255/a^2, then init_color re-quantizes.
+    a = cfg.aliasing
+    t = jnp.trunc(hi)  # uint8 quantization of the hi-res buffer
+    box = t.reshape(height, a, width, a, 3).sum(axis=(1, 3))
+    lo = jnp.clip(box / (255.0 * a * a) * 255.0, 0.0, 255.0)
+    return lo
+
+
+def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.ndarray:
+    """Render a host scene to an (H, W, 3) float image in [0,255].
+
+    Truncate to uint8 (or write via utils.image.write_ppm) to match the
+    reference's `print_color` int cast (cpu/printer.c:13-18).
+    """
+    width, height = scene_host.camera.width, scene_host.camera.height
+    scene = scene_to_device(scene_host)
+    max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
+    if cfg.mode == "cpu":
+        depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
+        coords = jnp.asarray(camera_ops.cpu_subpixel_coords(width, height))
+        img = _render_cpu_mode(scene, coords, cfg, depth, width, height)
+    else:
+        hw, hh = width * cfg.aliasing, height * cfg.aliasing
+        coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh))
+        img = _render_gpu_mode(scene, coords, cfg, width, height)
+    return np.asarray(img)
+
+
+def render(input_path: str, output_path: str, cfg: RenderConfig = RenderConfig()) -> None:
+    """CLI-equivalent entry: parse, render, write — `rt in.svati out.ppm`
+    (cpu/rt.c:5-10) / `rt in.svati out.png` (gpu/rt.cpp:54-97)."""
+    from raytracing_gpu_tpu.models.parser import parse_scene
+    from raytracing_gpu_tpu.utils import image as image_io
+
+    scene = parse_scene(input_path)
+    img = render_scene(scene, cfg)
+    if output_path.endswith(".png"):
+        image_io.write_png(output_path, np.trunc(img).astype(np.uint8))
+    else:
+        image_io.write_ppm(output_path, img)

@@ -1,0 +1,128 @@
+"""Image comparison / regression reporting.
+
+The reference had no golden-image tests at all (validation was visual —
+SURVEY §4); this module is the oracle comparator the reference never had.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImageDiff:
+    max_abs: int
+    mean_abs: float
+    n_diff: int  # pixels differing at all
+    n_bad: int  # pixels differing by more than `tol`
+    total: int
+    tol: int
+
+    @property
+    def frac_diff(self) -> float:
+        return self.n_diff / max(self.total, 1)
+
+    @property
+    def frac_bad(self) -> float:
+        return self.n_bad / max(self.total, 1)
+
+    def __str__(self) -> str:
+        return (
+            f"max|d|={self.max_abs} mean|d|={self.mean_abs:.4f} "
+            f"diff={self.n_diff}/{self.total} ({100 * self.frac_diff:.2f}%) "
+            f">{self.tol}: {self.n_bad} ({100 * self.frac_bad:.3f}%)"
+        )
+
+
+def diff_images(a: np.ndarray, b: np.ndarray, tol: int = 1) -> ImageDiff:
+    a = np.asarray(a, np.int32)
+    b = np.asarray(b, np.int32)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    d = np.abs(a - b)
+    per_pix = d.max(axis=-1)
+    return ImageDiff(
+        max_abs=int(d.max()) if d.size else 0,
+        mean_abs=float(d.mean()) if d.size else 0.0,
+        n_diff=int((per_pix > 0).sum()),
+        n_bad=int((per_pix > tol).sum()),
+        total=int(per_pix.size),
+        tol=tol,
+    )
+
+
+def edge_mask(img: np.ndarray, thresh: int = 8, dilate: int = 1) -> np.ndarray:
+    """Boolean (H,W) mask of pixels at/near discontinuities of `img`.
+
+    A pixel is an edge pixel if any channel differs by more than `thresh`
+    from any 4-neighbor; the mask is then dilated `dilate` steps (8-conn).
+    """
+    g = np.asarray(img, np.int32)
+    h, w = g.shape[:2]
+    m = np.zeros((h, w), bool)
+    d = np.abs(g[1:] - g[:-1]).max(axis=-1) > thresh
+    m[1:] |= d
+    m[:-1] |= d
+    d = np.abs(g[:, 1:] - g[:, :-1]).max(axis=-1) > thresh
+    m[:, 1:] |= d
+    m[:, :-1] |= d
+    for _ in range(dilate):
+        m2 = m.copy()
+        m2[1:] |= m[:-1]
+        m2[:-1] |= m[1:]
+        m2[:, 1:] |= m[:, :-1]
+        m2[:, :-1] |= m[:, 1:]
+        m = m2
+    return m
+
+
+def assert_images_close(
+    a: np.ndarray,
+    b: np.ndarray,
+    tol: int = 1,
+    max_frac_diff: float = 0.05,
+    max_mean_abs: float = 1.0,
+    edge_thresh: int = 8,
+    context: str = "",
+) -> ImageDiff:
+    """Assert `a` matches golden `b` up to FP-boundary effects.
+
+    Rationale: the oracle is scalar gcc C; the TPU/XLA program evaluates the
+    same f32 formulas with different contraction (FMA) and association.
+    Exactly-on-boundary subsamples (a barycentric coordinate of 0.0, a shadow
+    grazing a silhouette) can flip hit/miss — but such flips can only change
+    pixels at *discontinuities of the image*. So:
+
+    - off-edge pixels (per `edge_mask(b)`) must match within `tol` (1 uint8
+      step absorbs truncation jitter);
+    - edge pixels may differ, bounded by `max_frac_diff` of all pixels and
+      `max_mean_abs` overall mean error.
+    """
+    a = np.asarray(a, np.int32)
+    b = np.asarray(b, np.int32)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    d = diff_images(a, b, tol=tol)
+    em = edge_mask(b, thresh=edge_thresh)
+    per_pix = np.abs(a - b).max(axis=-1)
+    off_edge_bad = (per_pix > tol) & ~em
+    ok = (
+        not off_edge_bad.any()
+        and d.frac_diff <= max_frac_diff
+        and d.mean_abs <= max_mean_abs
+    )
+    if not ok:
+        ys, xs = np.nonzero(off_edge_bad)
+        detail = ""
+        if len(ys):
+            y, x = ys[0], xs[0]
+            detail = (
+                f"; {len(ys)} off-edge pixels differ, e.g. ({y},{x}) "
+                f"ours={a[y, x].tolist()} golden={b[y, x].tolist()}"
+            )
+        raise AssertionError(
+            f"images differ{' (' + context + ')' if context else ''}: {d}{detail}"
+        )
+    return d

@@ -1,0 +1,73 @@
+"""End-to-end render tests vs the CPU-reference oracle.
+
+The comparator tolerates off-by-one uint8 differences on a small fraction of
+pixels (f32 reassociation between gcc scalar code and XLA vector code around
+truncation boundaries); any structural mismatch fails loudly.
+"""
+
+import numpy as np
+import pytest
+
+from raytracing_gpu_tpu.config import RenderConfig
+from raytracing_gpu_tpu.models.parser import parse_scene_text
+from raytracing_gpu_tpu.render import render_scene
+from raytracing_gpu_tpu.utils.compare import assert_images_close
+
+from oracle import oracle_available, oracle_render, scene_text
+
+pytestmark = pytest.mark.skipif(not oracle_available(), reason="reference not mounted")
+
+
+def run_match(name, w, h, **cmp_kwargs):
+    golden = oracle_render(name, w, h)
+    scene = parse_scene_text(scene_text(name, w, h))
+    img = render_scene(scene, RenderConfig(mode="cpu", quantize="match"))
+    ours = np.trunc(img).astype(np.uint8)
+    return assert_images_close(ours, golden, context=name, **cmp_kwargs)
+
+
+def test_triangle_64():
+    run_match("triangle", 64, 64)
+
+
+def test_triangle_ambient_64():
+    run_match("triangle-ambient", 64, 64)
+
+
+def test_triangle_left_ambient_64():
+    run_match("triangle-left-ambient", 64, 64)
+
+
+def test_cube_64():
+    run_match("cube", 64, 64)
+
+
+def test_cube_ambient_64():
+    run_match("cube-ambient", 64, 64)
+
+
+def test_point_light_64():
+    run_match("point-light", 64, 64)
+
+
+def test_dir_light_shadows_64():
+    run_match("dir-light-shadows", 64, 64)
+
+
+def test_lighthouse_48():
+    run_match("lighthouse", 48, 48)
+
+
+def test_susan_48():
+    run_match("susan", 48, 48)
+
+
+def test_smooth_close_to_oracle():
+    """smooth (differentiable) mode is allclose to the oracle on a scene
+    without saturating colors."""
+    golden = oracle_render("triangle", 64, 64)
+    scene = parse_scene_text(scene_text("triangle", 64, 64))
+    img = render_scene(scene, RenderConfig(mode="cpu", quantize="smooth"))
+    ours = np.trunc(img).astype(np.uint8)
+    # smooth mode skips intermediate clamping: allow ±2 off-edge
+    assert_images_close(ours, golden, tol=2, context="triangle-smooth")
