@@ -37,8 +37,11 @@ class RenderConfig:
         kernels for the intersection hot loop).
       max_bounce: bounce cap for "gpu" mode (gpu/raytracer.cu:113).
       cpu_max_depth: safety cap on the emulated recursion depth in "cpu" mode
-        (the reference recursion terminates via coef < cutoff; we unroll to a
-        static depth derived from max material nr, capped here).
+        (the reference recursion terminates via coef < cutoff, which never
+        happens for Nr>=1 materials; the while_loop early-exits on all-miss,
+        so a high cap costs nothing on typical scenes).
+      diff_max_depth: recursion cap for the unrolled differentiable path
+        (quantize="smooth"), bounding compile time and grad memory.
       reflect_cutoff: attenuation cutoff (cpu/raytracer.c:21, gpu/raytracer.cu:122).
       self_hit_eps: minimum accepted hit distance (cpu/hit.c:59).
       mt_eps: Möller–Trumbore determinant/t epsilon (cpu/hit.c:4).
@@ -54,7 +57,8 @@ class RenderConfig:
     partitioning: str = "none"
     backend: str = "jnp"
     max_bounce: int = 10
-    cpu_max_depth: int = 16
+    cpu_max_depth: int = 64
+    diff_max_depth: int = 6
     reflect_cutoff: float = 0.01
     self_hit_eps: float = 0.01
     mt_eps: float = 1e-7

@@ -54,38 +54,67 @@ def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
     return max(1, min(cap, d))
 
 
-def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int):
+def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
+               unroll: bool = False):
     """Emulate the recursive trace() for a batch of rays; returns (R,3) colors
-    in the ColorOps domain selected by cfg.quantize."""
+    in the ColorOps domain selected by cfg.quantize.
+
+    Accumulation-order note: the reference folds contributions deepest-bounce
+    first through the saturating color_add (cpu/raytracer.c:31). For
+    non-negative terms, saturating addition is associative in real arithmetic
+    (min(min(a+b,255)+c, 255) == min(a+b+c, 255)), so we accumulate FORWARD —
+    only f32 rounding order differs, which the edge-aware comparator absorbs.
+    Forward accumulation enables a `lax.while_loop` that exits as soon as
+    every ray in the batch is dead (miss or coef < cutoff) — the TPU-uniform
+    analog of the reference's per-thread early recursion exit. Deep mirror
+    scenes (Nr=1.0 in car-on-road) cost only as many iterations as the
+    longest surviving path in the batch.
+
+    unroll=True uses a statically unrolled loop instead (reverse-mode
+    differentiable; lax.while_loop is not).
+    """
     cops = ColorOps(cfg.quantize)
     R = origins.shape[0]
-    coef = jnp.ones((R,), jnp.float32)
-    alive = jnp.ones((R,), bool)
-    contribs = []
-    o, d = origins, dirs
-    for _ in range(depth):
-        entered = alive & (coef >= cfg.reflect_cutoff)  # trace() entry check
+
+    def step(o, d, coef, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps)
-        use = entered & hit.mask
+        use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps)
-        contribs.append(jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
+        color = cops.add(color, jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
         refl_dir = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
         o = jnp.where(use[:, None], hit.point, o)
         d = jnp.where(use[:, None], refl_dir, d)
-        nr = scene.materials.nr[hit.obj]
-        coef = jnp.where(use, nr * coef, 0.0)
-        alive = use
-    # Fold deepest-first to reproduce the reference's clamped add order
-    # (trace returns color_add(reflection, local*coef), cpu/raytracer.c:31).
-    out = cops.zeros((R,))
-    for c in reversed(contribs):
-        out = cops.add(out, c)
-    return out
+        coef = jnp.where(use, scene.materials.nr[hit.obj] * coef, 0.0)
+        return o, d, coef, use, color
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((R,), jnp.float32),
+        jnp.ones((R,), bool),
+        cops.zeros((R,)),
+    )
+    if unroll:
+        state = init
+        for _ in range(depth):
+            state = step(*state)
+        return state[4]
+
+    def cond(s):
+        b, (o, d, coef, alive, color) = s
+        return (b < depth) & jnp.any(alive & (coef >= cfg.reflect_cutoff))
+
+    def body(s):
+        b, state = s
+        return b + 1, step(*state)
+
+    _, (_, _, _, _, color) = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    return color
 
 
-def _trace_chunked(scene, origins, dirs, cfg, depth):
+def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False):
     """lax.map over ray chunks to bound the R x T working set."""
     R = origins.shape[0]
     chunk = min(cfg.ray_chunk, R)
@@ -95,7 +124,7 @@ def _trace_chunked(scene, origins, dirs, cfg, depth):
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
     oc = origins.reshape(-1, chunk, 3)
     dc = dirs.reshape(-1, chunk, 3)
-    f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth)
+    f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth, unroll)
     colors = jax.lax.map(f, (oc, dc))
     return colors.reshape(-1, 3)[:R]
 
@@ -109,7 +138,8 @@ def _render_cpu_mode(scene: Scene, coords, cfg: RenderConfig, depth: int, width:
     pos = jnp.asarray(scene.camera.position, jnp.float32)
     flat = coords.reshape(-1, 2)
     origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
-    colors = _trace_chunked(scene, origins, dirs, cfg, depth)  # (H*W*4,3)
+    unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
+    colors = _trace_chunked(scene, origins, dirs, cfg, depth, unroll)  # (H*W*4,3)
     sub = colors.reshape(height, width, 4, 3)
     # accumulate in the reference's subsample order with clamped ops
     acc = cops.zeros((height, width))
@@ -185,7 +215,8 @@ def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.nd
     scene = scene_to_device(scene_host)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
     if cfg.mode == "cpu":
-        depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
+        cap = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
+        depth = required_depth(max_nr, cfg.reflect_cutoff, cap)
         coords = jnp.asarray(camera_ops.cpu_subpixel_coords(width, height))
         img = _render_cpu_mode(scene, coords, cfg, depth, width, height)
     else:

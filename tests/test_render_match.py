@@ -71,3 +71,17 @@ def test_smooth_close_to_oracle():
     ours = np.trunc(img).astype(np.uint8)
     # smooth mode skips intermediate clamping: allow ±2 off-edge
     assert_images_close(ours, golden, tol=2, context="triangle-smooth")
+
+
+def test_spheres_reflective_32():
+    """spheres.svati: Nr 0.85/0.45 mirrors, 6 lights, 4812 triangles."""
+    run_match("spheres", 32, 32)
+
+
+def test_car_on_road_32():
+    """car-on-road.svati: Nr=1.0 material (unbounded reference recursion)."""
+    run_match("car-on-road", 32, 32)
+
+
+def test_sphere_spec_32():
+    run_match("sphere-spec", 32, 32)
