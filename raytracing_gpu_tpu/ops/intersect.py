@@ -98,12 +98,22 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps):
     return jnp.where(ok, dist, INF), u, v, t, ok
 
 
-def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01) -> Hit:
+def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
+            scene_axis: str | None = None) -> Hit:
     """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
 
     Differentiable: the winner index is discrete (piecewise-constant) but the
     winning triangle's hit point / normal / distance carry gradients to the
     gathered geometry.
+
+    scene_axis: when running under `shard_map` with the triangle arrays
+    sharded over a mesh axis (the TPU "scene/model parallel" analog — each
+    chip owns a contiguous triangle range), pass that axis name: the local
+    winner is combined across shards with an `all_gather` + first-occurrence
+    argmin, which preserves the reference's lowest-triangle-index tie-break
+    because shards hold contiguous ascending ranges. The gather is tiny
+    ((S, R, 10) floats); its transpose routes hit-point/normal cotangents
+    back to the owning shard automatically.
     """
     dist, u, v, t, ok = _mt_core(
         origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
@@ -141,23 +151,54 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01) -> Hit:
     nz = jnp.any(normal != 0.0, axis=-1)
     mask &= nz
 
-    return Hit(
+    hit = Hit(
         point=point,
         normal=normal,
         obj=geometry.tri_obj[win],
         dist=jnp.where(mask, wdist, INF),
         mask=mask,
     )
+    if scene_axis is not None:
+        hit = _combine_shard_hits(hit, scene_axis)
+    return hit
 
 
-def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01):
+def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
+    """Reduce per-shard nearest hits to the global nearest across a mesh axis.
+
+    all_gather stacks shards in axis order (shard s holds triangles
+    [s*T_local, (s+1)*T_local)), so a first-occurrence argmin over the shard
+    axis reproduces the reference's linear-scan tie-break (cpu/hit.c:60:
+    strictly-smaller wins, earlier index kept on ties).
+    """
+    g = jax.lax.all_gather(hit, axis_name)  # leaves gain leading (S,) axis
+    win = jnp.argmin(g.dist, axis=0)  # (R,) first occurrence
+    take = lambda a: jnp.take_along_axis(
+        a, win.reshape((1,) + win.shape + (1,) * (a.ndim - 2)), axis=0
+    )[0]
+    return Hit(
+        point=take(g.point),
+        normal=take(g.normal),
+        obj=take(g.obj[..., None])[..., 0],
+        dist=take(g.dist[..., None])[..., 0],
+        mask=take(g.mask[..., None])[..., 0],
+    )
+
+
+def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
+                 scene_axis: str | None = None):
     """Nearest-hit distance, 0.0 on miss — `collide_dist` (cpu/hit.c:93-109).
 
-    Used for shadow rays; cheaper than `collide` (no winner gather).
+    Used for shadow rays; cheaper than `collide` (no winner gather). Under
+    triangle sharding the per-shard minima combine with a `pmin` over the
+    mesh axis (no gradient flows through this value: shadowing consumes it
+    only via the boolean `!= 0` occlusion test).
     """
     dist, _, _, _, _ = _mt_core(
         origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
         mt_eps, self_hit_eps,
     )
     m = jnp.min(dist, axis=1)
+    if scene_axis is not None:
+        m = jax.lax.pmin(jax.lax.stop_gradient(m), scene_axis)
     return jnp.where(jnp.isfinite(m), m, 0.0)

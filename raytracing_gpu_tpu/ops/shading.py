@@ -60,7 +60,8 @@ def apply_specular(color, inc_origin, inc_dir, hit_point, normal, ks, ns, cops: 
     return cops.add(color, cops.mul(kcolor, Ls[:, None]))
 
 
-def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01):
+def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
+          scene_axis=None):
     """apply_light (cpu/light.c:33-99) for a batch of hits.
 
     Returns (R,3) colors in the cops domain. Rays with hit.mask False get
@@ -87,7 +88,8 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01):
             contrib = cops.mul2(lrgb, cops.init(ka))
         elif kind == DIRECTIONAL:
             shadow_dir = jnp.broadcast_to(-lv, (R, 3))
-            fdist = collide_dist(hp, shadow_dir, scene.geometry, mt_eps, self_hit_eps)
+            fdist = collide_dist(hp, shadow_dir, scene.geometry, mt_eps,
+                                 self_hit_eps, scene_axis)
             occluded = fdist != 0.0  # has_direct_hit quirk (cpu/light.c:24-31)
             Ldir = jnp.broadcast_to(-lv, (R, 3))
             dif = cops.mul(cops.mul2(lrgb, cops.init(kd)), _dot(Ldir, N)[:, None])
@@ -101,7 +103,8 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01):
             Np = jnp.where(flip[:, None], -N, N)
             dvec = lv[None, :] - hp
             dist = jnp.sqrt(_dot(dvec, dvec))
-            fdist = collide_dist(hp, dvec, scene.geometry, mt_eps, self_hit_eps)
+            fdist = collide_dist(hp, dvec, scene.geometry, mt_eps,
+                                 self_hit_eps, scene_axis)
             occluded = fdist != 0.0
             # guard: dist == 0 only when the hit point IS the light position
             # (the reference would divide by zero there too)

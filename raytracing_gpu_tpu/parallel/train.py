@@ -1,0 +1,197 @@
+"""Differentiable inverse rendering: the framework's training step.
+
+The reference is forward-only; the BASELINE north star adds the backward
+pass: pixel gradients flowing to vertex positions, normals, material colors
+and light parameters, with scene-parameter gradients all-reduced via `psum`
+across the ray-tile mesh axis (the renderer analog of data-parallel gradient
+sync). This module provides:
+
+- `extract_params` / `insert_params`: the differentiable leaf set as a flat
+  dict (vertices, normals, lights, Phong coefficients, camera).
+- `make_train_step(mesh, cfg, ...)`: a jitted step
+  (TrainState, coords, target) -> (TrainState, loss) where the loss/grad is
+  computed under `shard_map` (rays over "tiles", triangles over "scene") and
+  the optimizer update runs on the sharded grads (optax; vertex/normal grads
+  stay sharded on their owning chip, replicated-param grads are psum'd over
+  tiles and remain replicated).
+
+Gradient correctness notes:
+- total loss L = sum over tiles of L_tile; each device computes
+  d(L_tile)/d(params) locally, then a single psum over "tiles" forms dL.
+  Vertex/normal grads are per-scene-shard (each chip owns its triangle
+  range); the transpose of the hit-combine all_gather routes their
+  cotangents home automatically.
+- The shadow `pmin` carries no gradient (occlusion is consumed as a
+  boolean), matching the piecewise-constant nature of hard shadows.
+- quantize="smooth" is required: "match" clamps at every op and zeroes
+  gradients wherever any intermediate saturates (cpu/colors.c:3-22).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from raytracing_gpu_tpu.config import RenderConfig
+from raytracing_gpu_tpu.models.scene import Camera, Scene
+from raytracing_gpu_tpu.ops import camera as camera_ops
+from raytracing_gpu_tpu.parallel.mesh import SCENE, TILES
+from raytracing_gpu_tpu.render import _trace_chunked, required_depth
+
+# PartitionSpec per parameter: triangle-indexed leaves live on the scene
+# axis, everything else is replicated.
+PARAM_SPECS = {
+    "vertices": P(SCENE),
+    "normals": P(SCENE),
+    "lights_rgb": P(),
+    "lights_v": P(),
+    "ka": P(),
+    "kd": P(),
+    "ks": P(),
+    "ns": P(),
+    "nr": P(),
+    "cam_position": P(),
+    "cam_u": P(),
+    "cam_v": P(),
+    "cam_fov": P(),
+}
+
+
+def extract_params(scene: Scene) -> dict:
+    return {
+        "vertices": scene.geometry.vertices,
+        "normals": scene.geometry.normals,
+        "lights_rgb": scene.lights.rgb,
+        "lights_v": scene.lights.v,
+        "ka": scene.materials.ka,
+        "kd": scene.materials.kd,
+        "ks": scene.materials.ks,
+        "ns": scene.materials.ns,
+        "nr": scene.materials.nr,
+        "cam_position": jnp.asarray(scene.camera.position, jnp.float32),
+        "cam_u": jnp.asarray(scene.camera.u, jnp.float32),
+        "cam_v": jnp.asarray(scene.camera.v, jnp.float32),
+        "cam_fov": jnp.asarray(scene.camera.fov, jnp.float32),
+    }
+
+
+def insert_params(scene: Scene, p: dict) -> Scene:
+    return dataclasses.replace(
+        scene,
+        camera=dataclasses.replace(
+            scene.camera,
+            position=p["cam_position"],
+            u=p["cam_u"],
+            v=p["cam_v"],
+            fov=p["cam_fov"],
+        ),
+        lights=dataclasses.replace(scene.lights, rgb=p["lights_rgb"], v=p["lights_v"]),
+        geometry=dataclasses.replace(
+            scene.geometry, vertices=p["vertices"], normals=p["normals"]
+        ),
+        materials=dataclasses.replace(
+            scene.materials,
+            ka=p["ka"], kd=p["kd"], ks=p["ks"], ns=p["ns"], nr=p["nr"],
+        ),
+    )
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: Any
+    step: Any
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
+    """Per-device loss+grad under shard_map; psum over tiles inside."""
+    scene_axis = SCENE if mesh.shape[SCENE] > 1 else None
+
+    def device_fn(params, fixed_geo, fixed_rest, coords, target):
+        def local_loss(params):
+            fixed = dataclasses.replace(fixed_rest, geometry=fixed_geo)
+            scene = insert_params(fixed, params)
+            u, v, C = camera_ops.camera_basis(scene.camera)
+            origins, dirs = camera_ops.make_rays(
+                u, v, C, params["cam_position"], coords
+            )
+            colors = _trace_chunked(
+                scene, origins, dirs, cfg, depth, unroll=True,
+                scene_axis=scene_axis,
+            )  # (r,3) in the smooth linear [0,1] domain (ops/colors.py)
+            # 2x2 subsample box average -> pixels (r/4,3), like the CPU
+            # writeout; target must be in the same [0,1] units
+            pred = colors.reshape(-1, 4, 3).mean(axis=1)
+            err = pred - target
+            return jnp.sum(err * err)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # global loss & gradient: sum tile contributions (dp-style psum over
+        # ICI); scene-sharded grads stay local to their owning shard
+        loss = jax.lax.psum(loss, TILES) / (3.0 * n_pixels)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, TILES) / (3.0 * n_pixels), grads
+        )
+        return loss, grads
+
+    return jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(PARAM_SPECS, P(SCENE), P(), P(TILES), P(TILES)),
+        out_specs=(P(), PARAM_SPECS),
+        check_vma=False,
+    )
+
+
+def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
+                    learning_rate: float = 1e-2):
+    """Build (init_state, step_fn) for inverse rendering on `scene`'s
+    structure.
+
+    step_fn(state, fixed_geo, fixed_rest, coords, target) -> (state, loss)
+      coords: (R,2) subpixel plane coords, R divisible by 4*n_tiles
+      target: (R/4,3) target pixel colors in [0,1]
+    """
+    if cfg.quantize != "smooth":
+        raise ValueError("training requires quantize='smooth' (match mode "
+                         "clamps at every op and kills gradients)")
+    optimizer = optimizer or optax.adam(learning_rate)
+    import numpy as _np
+
+    max_nr = float(_np.max(_np.asarray(scene.materials.nr)))
+    depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.diff_max_depth)
+
+    def init_state(params):
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, static_argnames=("n_pixels",))
+    def step_fn(state, fixed_geo, fixed_rest, coords, target, n_pixels):
+        loss, grads = _loss_and_grads_fn(mesh, cfg, depth, n_pixels)(
+            state.params, fixed_geo, fixed_rest, coords, target
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    return init_state, step_fn
+
+
+def init_train_state(scene: Scene, optimizer=None, learning_rate: float = 1e-2):
+    optimizer = optimizer or optax.adam(learning_rate)
+    params = extract_params(scene)
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))

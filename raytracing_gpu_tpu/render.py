@@ -55,7 +55,7 @@ def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
 
 
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
-               unroll: bool = False):
+               unroll: bool = False, scene_axis: str | None = None):
     """Emulate the recursive trace() for a batch of rays; returns (R,3) colors
     in the ColorOps domain selected by cfg.quantize.
 
@@ -77,9 +77,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
     R = origins.shape[0]
 
     def step(o, d, coef, alive, color):
-        hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps)
+        hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
+                      scene_axis)
         use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
-        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps)
+        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
@@ -114,7 +115,40 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
     return color
 
 
-def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False):
+def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
+                   scene_axis: str | None = None):
+    """GPU-reference iterative bounce loop for a batch of rays.
+
+    `do { tmp = trace(); color += tmp*nr_acc; nr_acc *= hit.nr } while
+    (nr_acc > 0.01 && MAX_BOUNCE-- > 0)` (gpu/raytracer.cu:107-122): entry is
+    unconditional for the first bounce, accumulation is shallow-first
+    saturating add. Statically unrolled (max_bounce+1 iterations), so this
+    path is reverse-mode differentiable in both quantize modes.
+    """
+    cops = ColorOps(cfg.quantize)
+    R = origins.shape[0]
+    o, d = origins, dirs
+    color = cops.zeros((R,))
+    nr_acc = jnp.ones((R,), jnp.float32)
+    alive = jnp.ones((R,), bool)
+    for _ in range(cfg.max_bounce + 1):
+        hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
+                      scene_axis)
+        use = alive & hit.mask
+        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis)
+        color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
+        n = hit.normal
+        refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
+        o = jnp.where(use[:, None], hit.point, o)
+        d = jnp.where(use[:, None], refl, d)
+        nr = jnp.where(use, scene.materials.nr[hit.obj], 0.0)
+        nr_acc = nr_acc * nr
+        alive = use & (nr_acc > cfg.reflect_cutoff)
+    return color
+
+
+def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
+                   scene_axis=None, gpu_semantics=False):
     """lax.map over ray chunks to bound the R x T working set."""
     R = origins.shape[0]
     chunk = min(cfg.ray_chunk, R)
@@ -124,7 +158,11 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False):
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
     oc = origins.reshape(-1, chunk, 3)
     dc = dirs.reshape(-1, chunk, 3)
-    f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth, unroll)
+    if gpu_semantics:
+        f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis)
+    else:
+        f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth, unroll,
+                                  scene_axis)
     colors = jax.lax.map(f, (oc, dc))
     return colors.reshape(-1, 3)[:R]
 
@@ -140,8 +178,14 @@ def _render_cpu_mode(scene: Scene, coords, cfg: RenderConfig, depth: int, width:
     origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
     unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
     colors = _trace_chunked(scene, origins, dirs, cfg, depth, unroll)  # (H*W*4,3)
+    return assemble_cpu_image(colors, cfg, width, height)
+
+
+def assemble_cpu_image(colors, cfg: RenderConfig, width: int, height: int):
+    """(H*W*4,3) subsample colors -> (H,W,3) image, accumulated in the
+    reference's subsample order with clamped ops (cpu/raytracer.c:55-68)."""
+    cops = ColorOps(cfg.quantize)
     sub = colors.reshape(height, width, 4, 3)
-    # accumulate in the reference's subsample order with clamped ops
     acc = cops.zeros((height, width))
     for s in range(4):
         acc = cops.add(acc, cops.mul(sub[:, :, s, :], 0.25))
@@ -168,41 +212,21 @@ def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height
     flat = coords.reshape(-1, 2)
     origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
 
-    def trace_gpu(od):
-        o, d = od
-        R = o.shape[0]
-        color = cops.zeros((R,))
-        nr_acc = jnp.ones((R,), jnp.float32)
-        alive = jnp.ones((R,), bool)
-        for b in range(cfg.max_bounce + 1):
-            hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps)
-            use = alive & hit.mask
-            local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps)
-            color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
-            n = hit.normal
-            refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
-            o = jnp.where(use[:, None], hit.point, o)
-            d = jnp.where(use[:, None], refl, d)
-            nr = jnp.where(use, scene.materials.nr[hit.obj], 0.0)
-            nr_acc = nr_acc * nr
-            alive = use & (nr_acc > cfg.reflect_cutoff)
-        return color
+    colors = _trace_chunked(scene, origins, dirs, cfg, depth=0,
+                            gpu_semantics=True)
+    return assemble_gpu_image(colors, cfg, width, height)
 
-    R = origins.shape[0]
-    chunk = min(cfg.ray_chunk, R)
-    pad = (-R) % chunk
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
-        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
-    colors = jax.lax.map(trace_gpu, (origins.reshape(-1, chunk, 3), dirs.reshape(-1, chunk, 3)))
-    hi = cops.finalize(colors.reshape(-1, 3)[:R].reshape(hh, hw, 3))
-    # downscale: box average of aliasing^2 texels (gpu/raytracer.cu:68-80):
-    # sums uint8-quantized texels, /255/a^2, then init_color re-quantizes.
+
+def assemble_gpu_image(colors, cfg: RenderConfig, width: int, height: int):
+    """(hh*hw,3) hi-res colors -> (H,W,3) via the reference's box downscale
+    (gpu/raytracer.cu:49-85): sums uint8-quantized texels, /255/a^2, then
+    init_color re-quantizes."""
+    cops = ColorOps(cfg.quantize)
     a = cfg.aliasing
+    hi = cops.finalize(colors.reshape(height * a, width * a, 3))
     t = jnp.trunc(hi)  # uint8 quantization of the hi-res buffer
     box = t.reshape(height, a, width, a, 3).sum(axis=(1, 3))
-    lo = jnp.clip(box / (255.0 * a * a) * 255.0, 0.0, 255.0)
-    return lo
+    return jnp.clip(box / (255.0 * a * a) * 255.0, 0.0, 255.0)
 
 
 def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.ndarray:
