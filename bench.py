@@ -1,0 +1,143 @@
+"""End-to-end benchmark: primary rays/sec/chip on susan.svati.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+- value: primary rays per second for a full CPU-semantics render of
+  susan.svati (512x512, 2x2 supersampling -> 1,048,576 primary rays; the
+  render also pays shadow rays per directional/point light and reflection
+  bounces, so this is honest end-to-end throughput, not kernel-only).
+- vs_baseline: speedup over the reference CPU renderer (cpu/raytracer.c,
+  gcc -O2, 4 pthreads) measured on this host and cached. The reference
+  publishes no numbers (BASELINE.md) so its own renderer is the baseline.
+
+Env knobs: RGT_BENCH_SCENE, RGT_BENCH_RES (render at a reduced resolution,
+rays/s is resolution-independent to first order), RGT_BENCH_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+CACHE = os.path.join(HERE, "tests", "_oracle_cache")
+REF = os.environ.get("RGT_REFERENCE", "/root/reference")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def oracle_rays_per_sec(scene_name: str) -> float | None:
+    """Reference CPU renderer throughput on this host (cached)."""
+    cache_file = os.path.join(CACHE, f"baseline_rays_{scene_name}.json")
+    if os.path.exists(cache_file):
+        with open(cache_file) as f:
+            return json.load(f)["rays_per_sec"]
+    try:
+        sys.path.insert(0, os.path.join(HERE, "tests"))
+        import oracle as oracle_mod
+
+        if not oracle_mod.oracle_available():
+            return None
+        binary = oracle_mod.build_oracle()
+        # measure at 128x128 (rays/s is ~resolution independent); median of 3
+        res = 128
+        src = oracle_mod.scene_text(scene_name, res, res)
+        spath = os.path.join(CACHE, f"_bench_{scene_name}.svati")
+        with open(spath, "w") as f:
+            f.write(src)
+        out = os.path.join(CACHE, f"_bench_{scene_name}.ppm")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run([binary, spath, out], check=True,
+                           capture_output=True, timeout=600)
+            times.append(time.perf_counter() - t0)
+        rays = res * res * 4
+        rps = rays / sorted(times)[1]
+        with open(cache_file, "w") as f:
+            json.dump({"rays_per_sec": rps, "res": res, "times": times}, f)
+        log(f"[bench] oracle baseline: {rps:,.0f} rays/s ({sorted(times)[1]:.2f}s @ {res}x{res})")
+        return rps
+    except Exception as e:  # baseline is best-effort
+        log(f"[bench] oracle baseline unavailable: {e}")
+        return None
+
+
+def main():
+    scene_name = os.environ.get("RGT_BENCH_SCENE", "susan")
+    repeats = int(os.environ.get("RGT_BENCH_REPEATS", "5"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_gpu_tpu.config import RenderConfig
+    from raytracing_gpu_tpu.models.parser import parse_scene_text
+    from raytracing_gpu_tpu.models.scene import scene_to_device
+    from raytracing_gpu_tpu.ops import camera as camera_ops
+    from raytracing_gpu_tpu.render import (
+        _render_cpu_mode,
+        required_depth,
+    )
+
+    platform = jax.devices()[0].platform
+    # Reduced resolution on CPU so local runs finish; full scene res on TPU.
+    default_res = "0" if platform == "tpu" else "64"
+    res = int(os.environ.get("RGT_BENCH_RES", default_res))
+
+    path = os.path.join(REF, "tests", scene_name + ".svati")
+    with open(path) as f:
+        src = f.read()
+    if res:
+        src = re.sub(r"camera \d+ \d+", f"camera {res} {res}", src, count=1)
+    scene_host = parse_scene_text(src)
+    W, H = scene_host.camera.width, scene_host.camera.height
+    rays = W * H * 4
+    log(f"[bench] {scene_name}.svati {W}x{H} on {platform} "
+        f"({scene_host.n_triangles} triangles, {rays:,} primary rays)")
+
+    cfg = RenderConfig(
+        mode="cpu", quantize="match",
+        ray_chunk=int(os.environ.get("RGT_BENCH_CHUNK", "16384")),
+    )
+    scene = scene_to_device(scene_host)
+    max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
+    depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
+    coords = jnp.asarray(camera_ops.cpu_subpixel_coords(W, H))
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
+    jax.block_until_ready(img)
+    log(f"[bench] compile+first render: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rps = rays / best
+    log(f"[bench] times: {[round(t, 4) for t in times]} -> {rps:,.0f} rays/s")
+
+    base = oracle_rays_per_sec(scene_name)
+    vs = rps / base if base else 0.0
+    print(json.dumps({
+        "metric": f"primary rays/sec/chip, {scene_name}.svati {W}x{H} ({platform})",
+        "value": round(rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
