@@ -113,12 +113,20 @@ class Geometry:
     pop (cpu/parse_obj.c:29-40): file triangle (a,b,c) is stored as (c,b,a)
     and file triangles appear in reverse order — so intermediate
     floating-point values match the oracle exactly.
+
+    obj_aabb / obj_node_box: optional acceleration data filled by
+    `partition.apply.with_accel` (None = brute force, the reference's
+    PARTITIONING_NONE). obj_aabb (O,2,3) per-object bounds; obj_node_box
+    (O,2,3) the grid-cell box of the object's octree node (octree mode
+    pre-test, gpu/hit.cu:120-169).
     """
 
     vertices: Any
     normals: Any
     tri_obj: Any
     valid: Any
+    obj_aabb: Any = None
+    obj_node_box: Any = None
 
     @property
     def padded_count(self) -> int:

@@ -55,10 +55,31 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps):
+def _cull_mask(origins, dirs, geometry):
+    """(R,T) bool pair mask from the partitioning pre-tests, or None.
+
+    AABB mode: slab test per object (gpu/hit.cu:96-101). Octree mode adds
+    the object's node-cell box (the collapsed form of the DFS at
+    gpu/hit.cu:120-169 — node boxes nest, so "every ancestor hit" is implied
+    by "own node box hit"). Conservative: culled objects cannot contain any
+    accepted hit.
+    """
+    if geometry.obj_aabb is None:
+        return None
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb
+
+    ohit = hit_aabb(origins, dirs, geometry.obj_aabb)  # (R,O)
+    if geometry.obj_node_box is not None:
+        ohit &= hit_aabb(origins, dirs, geometry.obj_node_box)
+    return ohit[:, geometry.tri_obj]  # (R,T)
+
+
+def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
+             pair_mask=None):
     """All-pairs Möller–Trumbore.
 
     origins/dirs: (R,3). vertices/normals: (T,3,3). valid: (T,) bool.
+    pair_mask: optional (R,T) pre-cull mask (partitioning layer).
     Returns (dist[R,T], u[R,T], v[R,T], t[R,T], ok[R,T]) with dist=inf when
     not ok. Follows cpu/hit.c:4-70 arithmetic exactly.
     """
@@ -95,6 +116,8 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps):
     dist = t * dlen[:, None]
     ok &= dist > self_hit_eps  # cpu/hit.c:59
     ok &= valid[None, :]
+    if pair_mask is not None:
+        ok &= pair_mask
     return jnp.where(ok, dist, INF), u, v, t, ok
 
 
@@ -117,7 +140,7 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     """
     dist, u, v, t, ok = _mt_core(
         origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
-        mt_eps, self_hit_eps,
+        mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
     )
     win = jnp.argmin(dist, axis=1)  # first occurrence == reference tie-break
     R = origins.shape[0]
@@ -196,7 +219,7 @@ def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     """
     dist, _, _, _, _ = _mt_core(
         origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
-        mt_eps, self_hit_eps,
+        mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
     )
     m = jnp.min(dist, axis=1)
     if scene_axis is not None:

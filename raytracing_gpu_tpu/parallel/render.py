@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from raytracing_gpu_tpu.config import RenderConfig
-from raytracing_gpu_tpu.models.scene import Scene, scene_to_device
+from raytracing_gpu_tpu.models.scene import Geometry, Scene, scene_to_device
 from raytracing_gpu_tpu.ops import camera as camera_ops
 from raytracing_gpu_tpu.parallel.mesh import SCENE, TILES
 from raytracing_gpu_tpu.render import (
@@ -55,9 +55,16 @@ def check_shardable(scene: Scene, mesh) -> None:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_tile_tracer(mesh, cfg: RenderConfig, depth: int, gpu_semantics: bool):
+def _build_tile_tracer(mesh, cfg: RenderConfig, depth: int, gpu_semantics: bool,
+                       accel_sig: tuple):
     scene_axis = SCENE if mesh.shape[SCENE] > 1 else None
     unroll = cfg.quantize == "smooth"
+    has_aabb, has_node = accel_sig
+    geo_spec = Geometry(
+        vertices=P(SCENE), normals=P(SCENE), tri_obj=P(SCENE), valid=P(SCENE),
+        obj_aabb=P() if has_aabb else None,
+        obj_node_box=P() if has_node else None,
+    )
 
     def tile_fn(geo, rest, coords):
         scene = dataclasses.replace(rest, geometry=geo)
@@ -70,7 +77,7 @@ def _build_tile_tracer(mesh, cfg: RenderConfig, depth: int, gpu_semantics: bool)
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(P(SCENE), P(), P(TILES)),
+        in_specs=(geo_spec, P(), P(TILES)),
         out_specs=P(TILES),
         check_vma=False,
     )
@@ -86,7 +93,8 @@ def _render_sharded(geo, rest, coords, mesh, cfg, depth, width, height):
     pad = (-R) % n_tiles
     if pad:
         coords = jnp.concatenate([coords, jnp.zeros((pad, 2), coords.dtype)])
-    colors = _build_tile_tracer(mesh, cfg, depth, gpu)(geo, rest, coords)[:R]
+    accel_sig = (geo.obj_aabb is not None, geo.obj_node_box is not None)
+    colors = _build_tile_tracer(mesh, cfg, depth, gpu, accel_sig)(geo, rest, coords)[:R]
     if gpu:
         return assemble_gpu_image(colors, cfg, width, height)
     return assemble_cpu_image(colors, cfg, width, height)
@@ -103,6 +111,10 @@ def render_scene_sharded(scene_host: Scene, cfg: RenderConfig, mesh) -> np.ndarr
     """Multi-chip `render_scene`: same semantics, sharded over `mesh`."""
     width, height = scene_host.camera.width, scene_host.camera.height
     scene = scene_to_device(scene_host)
+    if cfg.partitioning != "none":
+        from raytracing_gpu_tpu.partition.apply import with_accel
+
+        scene, _ = with_accel(scene, cfg.partitioning)
     check_shardable(scene, mesh)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
     if cfg.mode == "cpu":

@@ -168,6 +168,10 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
     if cfg.quantize != "smooth":
         raise ValueError("training requires quantize='smooth' (match mode "
                          "clamps at every op and kills gradients)")
+    if scene.geometry.obj_aabb is not None:
+        raise ValueError("training expects partitioning='none' geometry: "
+                         "accel data would go stale as vertices move "
+                         "(rebuild per step is future work)")
     optimizer = optimizer or optax.adam(learning_rate)
     import numpy as _np
 

@@ -237,6 +237,10 @@ def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.nd
     """
     width, height = scene_host.camera.width, scene_host.camera.height
     scene = scene_to_device(scene_host)
+    if cfg.partitioning != "none":
+        from raytracing_gpu_tpu.partition.apply import with_accel
+
+        scene, _ = with_accel(scene, cfg.partitioning)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
     if cfg.mode == "cpu":
         cap = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
