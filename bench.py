@@ -76,6 +76,15 @@ def main():
     repeats = int(os.environ.get("RGT_BENCH_REPEATS", "5"))
 
     import jax
+
+    # persistent compilation cache: first TPU compile of the full render is
+    # minutes; every later bench run (and the driver's) reuses it
+    cache_dir = os.environ.get(
+        "RGT_JAX_CACHE", os.path.join(CACHE, "jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -102,11 +111,13 @@ def main():
     W, H = scene_host.camera.width, scene_host.camera.height
     rays = W * H * 4
     log(f"[bench] {scene_name}.svati {W}x{H} on {platform} "
-        f"({scene_host.n_triangles} triangles, {rays:,} primary rays)")
+        f"({scene_host.n_triangles} triangles, {rays:,} primary rays, "
+        f"backend={os.environ.get('RGT_BENCH_BACKEND', 'pallas')})")
 
+    backend = os.environ.get("RGT_BENCH_BACKEND", "pallas")
     cfg = RenderConfig(
-        mode="cpu", quantize="match",
-        ray_chunk=int(os.environ.get("RGT_BENCH_CHUNK", "16384")),
+        mode="cpu", quantize="match", backend=backend,
+        ray_chunk=int(os.environ.get("RGT_BENCH_CHUNK", "65536")),
     )
     scene = scene_to_device(scene_host)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
@@ -132,7 +143,7 @@ def main():
     base = oracle_rays_per_sec(scene_name)
     vs = rps / base if base else 0.0
     print(json.dumps({
-        "metric": f"primary rays/sec/chip, {scene_name}.svati {W}x{H} ({platform})",
+        "metric": f"primary rays/sec/chip, {scene_name}.svati {W}x{H} ({platform}, {cfg.backend})",
         "value": round(rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),

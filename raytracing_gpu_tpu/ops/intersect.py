@@ -121,8 +121,46 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
     return jnp.where(ok, dist, INF), u, v, t, ok
 
 
+def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps):
+    """(wdist, win) via the Pallas pair-tile kernel (+tile-level culling)."""
+    from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+    v0, e1, e2 = pk.pack_triangles(geometry.vertices, geometry.valid)
+    op, dp, R = pk.pack_rays(origins, dirs)
+    nr = op.shape[1] // pk.TILE_R
+    nt = v0.shape[0] // pk.TILE_T
+    n_obj = (
+        geometry.obj_aabb.shape[0]
+        if geometry.obj_aabb is not None
+        else int(jnp.size(geometry.tri_obj) and 1)
+    )
+    mask = pk.tile_cull_mask(origins, dirs, geometry, n_obj, nr, nt)
+    dist, idx = pk.nearest_hit_pallas(op, dp, v0, e1, e2, mask,
+                                      float(mt_eps), float(self_hit_eps))
+    return dist[:R], idx[:R]
+
+
+def _winner_uvt(origins, dirs, geometry, win, mt_eps):
+    """Re-run Möller–Trumbore on each ray's winning triangle only (R x 1
+    work) to recover (u, v, t) — same arithmetic as _mt_core, so the values
+    are bit-identical to what the full pass computed."""
+    tri = geometry.vertices[win]  # (R,3,3)
+    v0 = tri[:, 0]
+    edge1 = tri[:, 1] - v0
+    edge2 = tri[:, 2] - v0
+    h = jnp.cross(dirs, edge2)
+    a = jnp.sum(edge1 * h, axis=-1)
+    f = 1.0 / jnp.where(jnp.abs(a) >= mt_eps, a, 1.0)
+    s = origins - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, edge1)
+    v = f * jnp.sum(dirs * q, axis=-1)
+    t = f * jnp.sum(edge2 * q, axis=-1)
+    return u, v, t
+
+
 def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
-            scene_axis: str | None = None) -> Hit:
+            scene_axis: str | None = None, backend: str = "jnp") -> Hit:
     """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
 
     Differentiable: the winner index is discrete (piecewise-constant) but the
@@ -138,20 +176,23 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     ((S, R, 10) floats); its transpose routes hit-point/normal cotangents
     back to the owning shard automatically.
     """
-    dist, u, v, t, ok = _mt_core(
-        origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
-        mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
-    )
-    win = jnp.argmin(dist, axis=1)  # first occurrence == reference tie-break
     R = origins.shape[0]
-    rix = jnp.arange(R)
-    wdist = dist[rix, win]
-    mask = jnp.isfinite(wdist)
-
-    wu = u[rix, win]
-    wv = v[rix, win]
-    wt = t[rix, win]
-    tri_v = geometry.vertices[win]  # (R,3,3)
+    if backend == "pallas":
+        wdist, win = _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps)
+        mask = jnp.isfinite(wdist)
+        wu, wv, wt = _winner_uvt(origins, dirs, geometry, win, mt_eps)
+    else:
+        dist, u, v, t, ok = _mt_core(
+            origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
+            mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
+        )
+        win = jnp.argmin(dist, axis=1)  # first occurrence == reference tie-break
+        rix = jnp.arange(R)
+        wdist = dist[rix, win]
+        mask = jnp.isfinite(wdist)
+        wu = u[rix, win]
+        wv = v[rix, win]
+        wt = t[rix, win]
     tri_n = geometry.normals[win]
 
     # Hit point: origin + normalize(dir) * (t * |dir|)  (cpu/hit.c:36-38)
@@ -209,7 +250,7 @@ def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
 
 
 def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
-                 scene_axis: str | None = None):
+                 scene_axis: str | None = None, backend: str = "jnp"):
     """Nearest-hit distance, 0.0 on miss — `collide_dist` (cpu/hit.c:93-109).
 
     Used for shadow rays; cheaper than `collide` (no winner gather). Under
@@ -217,11 +258,14 @@ def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     mesh axis (no gradient flows through this value: shadowing consumes it
     only via the boolean `!= 0` occlusion test).
     """
-    dist, _, _, _, _ = _mt_core(
-        origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
-        mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
-    )
-    m = jnp.min(dist, axis=1)
+    if backend == "pallas":
+        m, _ = _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps)
+    else:
+        dist, _, _, _, _ = _mt_core(
+            origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
+            mt_eps, self_hit_eps, _cull_mask(origins, dirs, geometry),
+        )
+        m = jnp.min(dist, axis=1)
     if scene_axis is not None:
         m = jax.lax.pmin(jax.lax.stop_gradient(m), scene_axis)
     return jnp.where(jnp.isfinite(m), m, 0.0)

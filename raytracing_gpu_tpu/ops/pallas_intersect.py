@@ -1,0 +1,245 @@
+"""Pallas TPU kernel for the intersection hot loop.
+
+TPU-native replacement for the `raytrace` kernel's inner scalar triangle
+loops (gpu/hit.cu:8-114: one CUDA thread per ray, serial Möller–Trumbore per
+triangle). Here a (ray-tile x triangle-tile) grid keeps both operands
+resident in VMEM and evaluates all pairs as 2D vector ops on the 8x128 VPU:
+
+  grid = (R/TILE_R, T/TILE_T), j (triangles) innermost
+  per step: a (TILE_T, TILE_R) Möller–Trumbore pair tile — triangles on the
+  sublane axis, rays on the lane axis — reduced over sublanes into the
+  revisited (1, TILE_R) running (min-dist, argmin) output block.
+
+The strictly-less `<` accumulation preserves the reference's linear-scan
+tie-break (cpu/hit.c:60: first triangle with a strictly smaller distance
+wins), because tiles sweep triangles in ascending index order and the
+within-tile argmin takes the smallest row.
+
+Layouts: triangles as (T,3) v0/e1/e2 so a component slice is a (TILE_T,1)
+column; rays as (3,R) planes so a component slice is a (1,TILE_R) lane row.
+Every intermediate is a well-tiled (TILE_T, TILE_R) f32 array; reductions
+run over sublanes. `lax.select` is used instead of `jnp.where` in-kernel
+(jnp.where lowers through a nested jit that Mosaic rejects).
+
+The winner's hit point/normal are reconstructed outside the kernel by
+re-running single-triangle Möller–Trumbore on the gathered winner (R x 1
+work) — keeping the kernel to two small outputs.
+
+Tile-level AABB culling (PARTITIONING_{AABB,OCTREE} analog): a precomputed
+(nR, nT) mask gates each pair tile with `pl.when`, skipping the entire MT
+evaluation for tiles no ray can hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 256
+TILE_T = 256
+_INF = float("inf")  # plain float: jnp scalars would be captured consts in-kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _sel(pred, a, b):
+    """Shape-matched select (Mosaic-safe jnp.where substitute)."""
+    return lax.select(pred, jnp.broadcast_to(a, pred.shape).astype(b.dtype), b)
+
+
+def _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref, mt_eps, self_hit_eps):
+    """Möller–Trumbore pair tile -> dist (TILE_T, TILE_R), inf on reject.
+
+    Arithmetic order matches cpu/hit.c:4-70.
+    """
+    ox, oy, oz = (o_ref[k:k + 1, :] for k in range(3))  # (1,R)
+    dx, dy, dz = (d_ref[k:k + 1, :] for k in range(3))
+    v0x, v0y, v0z = (v0_ref[:, k:k + 1] for k in range(3))  # (T,1)
+    e1x, e1y, e1z = (e1_ref[:, k:k + 1] for k in range(3))
+    e2x, e2y, e2z = (e2_ref[:, k:k + 1] for k in range(3))
+
+    # h = cross(d, e2)
+    hx = dy * e2z - dz * e2y  # (T,R)
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    ok = jnp.abs(a) >= mt_eps
+    f = 1.0 / _sel(ok, a, jnp.ones_like(a))
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    # q = cross(s, e1)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok &= t > mt_eps
+
+    dlen2 = dx * dx + dy * dy + dz * dz  # (1,R)
+    dlen = jnp.sqrt(_sel(dlen2 > 0.0, dlen2, jnp.ones_like(dlen2)))
+    dist = t * dlen
+    ok &= dist > self_hit_eps
+    return _sel(ok, dist, jnp.full_like(dist, _INF))
+
+
+def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
+                    dist_ref, idx_ref, *, mt_eps, self_hit_eps):
+    """dist_ref/idx_ref hold the FULL (nr, TILE_R) result in VMEM (a few
+    hundred KB); row i is the running accumulator for ray tile i, updated
+    with a dynamic sublane slice. Mosaic requires block dims divisible by
+    (8,128) or whole — (1, TILE_R) per-i blocks are neither."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
+        idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    @pl.when(tilemask_ref[i, j] > 0)
+    def _():
+        dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
+                        mt_eps, self_hit_eps)  # (TT, TR)
+        tmin = jnp.min(dist, axis=0, keepdims=True)  # (1, TR)
+        rows = lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+        # first-occurrence argmin: smallest row among minima
+        is_min = dist == jnp.broadcast_to(tmin, dist.shape)
+        targ = jnp.min(_sel(is_min, rows, jnp.full_like(rows, TILE_T)),
+                       axis=0, keepdims=True)  # (1, TR)
+        acc = dist_ref[pl.ds(i, 1), :]
+        better = tmin < acc  # strict: earlier tile wins ties
+        dist_ref[pl.ds(i, 1), :] = lax.select(better, tmin, acc)
+        idx_ref[pl.ds(i, 1), :] = lax.select(
+            better, j * TILE_T + targ, idx_ref[pl.ds(i, 1), :]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
+def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
+                       mt_eps: float, self_hit_eps: float):
+    """Min-distance + winner index over all (ray, triangle) pairs.
+
+    origins_p/dirs_p: (3, R) with R % TILE_R == 0.
+    v0/e1/e2: (T, 3) with T % TILE_T == 0 (invalid triangles must be
+      degenerate: e1 = e2 = 0 -> |a| < eps rejects them).
+    tile_mask: (nR, nT) int32 — 0 skips the pair tile entirely (AABB
+      culling); pass ones for brute force.
+    Returns (dist (R,), idx (R,)) with dist == +inf on miss.
+    """
+    R = origins_p.shape[1]
+    T = v0.shape[0]
+    nr, nt = R // TILE_R, T // TILE_T
+    kernel = functools.partial(
+        _nearest_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tile_mask lives whole in SMEM
+        grid=(nr, nt),
+        in_specs=[
+            pl.BlockSpec((3, TILE_R), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+            jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(nr) * int(nt) * TILE_R * TILE_T * 60,
+            bytes_accessed=(nr * 6 * TILE_R + nt * 9 * TILE_T) * 4,
+            transcendentals=nr * nt * TILE_R,
+        ),
+        interpret=_interpret(),
+    )(tile_mask, origins_p, dirs_p, v0, e1, e2)
+    return dist.reshape(R), idx.reshape(R)
+
+
+def pack_triangles(vertices, valid):
+    """(T,3,3) triangle soup -> ((Tp,3) v0/e1/e2), padded to TILE_T with
+    degenerate rows (e1=e2=0, rejected by the determinant test)."""
+    T = vertices.shape[0]
+    pad = (-T) % TILE_T
+    v0 = vertices[:, 0]
+    e1 = vertices[:, 1] - v0
+    e2 = vertices[:, 2] - v0
+    # invalid triangles -> zero edges (|a| < eps rejects them in-kernel)
+    e1 = jnp.where(valid[:, None], e1, 0.0)
+    e2 = jnp.where(valid[:, None], e2, 0.0)
+    if pad:
+        v0 = jnp.concatenate([v0, jnp.zeros((pad, 3), v0.dtype)])
+        e1 = jnp.concatenate([e1, jnp.zeros((pad, 3), e1.dtype)])
+        e2 = jnp.concatenate([e2, jnp.zeros((pad, 3), e2.dtype)])
+    return v0, e1, e2  # (Tp, 3)
+
+
+def pack_rays(origins, dirs):
+    """(R,3) -> (3,Rp) planes padded to TILE_R; padded rays get dir=(0,0,1)
+    and an origin far outside any scene so they miss everything."""
+    R = origins.shape[0]
+    pad = (-R) % TILE_R
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.full((pad, 3), 1e30, origins.dtype)]
+        )
+        dirs = jnp.concatenate(
+            [dirs, jnp.concatenate([jnp.zeros((pad, 2)), jnp.ones((pad, 1))], axis=1).astype(dirs.dtype)]
+        )
+    return origins.T, dirs.T, R
+
+
+def obj_tile_table(tri_obj, valid, n_objects: int, n_tri_tiles: int):
+    """(nT, O) bool — does triangle tile j contain any valid triangle of
+    object o? Static per scene (cheap scatter over T)."""
+    T = tri_obj.shape[0]
+    tile_idx = jnp.arange(T) // TILE_T
+    tab = jnp.zeros((n_tri_tiles, n_objects), jnp.int32)
+    tab = tab.at[tile_idx, tri_obj].max(valid.astype(jnp.int32))
+    return tab
+
+
+def tile_cull_mask(origins, dirs, geometry, n_objects, n_ray_tiles, n_tri_tiles):
+    """(nR, nT) int32 tile mask from per-object AABBs, or all-ones.
+
+    A pair tile runs iff ANY ray in the tile hits the (node-)AABB of ANY
+    object with triangles in the tile. Factored through objects so nothing
+    (R x T)-sized is materialized: (R,O) slab tests -> per-ray-tile OR
+    -> (nR,O) @ (O,nT) boolean matmul.
+    """
+    if geometry.obj_aabb is None:
+        return jnp.ones((n_ray_tiles, n_tri_tiles), jnp.int32)
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb
+
+    ohit = hit_aabb(origins, dirs, geometry.obj_aabb)  # (R, O)
+    if geometry.obj_node_box is not None:
+        ohit &= hit_aabb(origins, dirs, geometry.obj_node_box)
+    R = origins.shape[0]
+    pad_r = n_ray_tiles * TILE_R - R
+    if pad_r:
+        ohit = jnp.concatenate([ohit, jnp.zeros((pad_r, ohit.shape[1]), bool)])
+    tile_ray_obj = ohit.reshape(n_ray_tiles, TILE_R, -1).any(axis=1)  # (nR,O)
+    tab = obj_tile_table(geometry.tri_obj, geometry.valid, n_objects,
+                         n_tri_tiles)  # (nT,O)
+    hits = jnp.dot(tile_ray_obj.astype(jnp.float32), tab.T.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return (hits > 0.0).astype(jnp.int32)

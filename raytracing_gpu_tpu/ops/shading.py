@@ -61,7 +61,7 @@ def apply_specular(color, inc_origin, inc_dir, hit_point, normal, ks, ns, cops: 
 
 
 def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
-          scene_axis=None):
+          scene_axis=None, backend="jnp"):
     """apply_light (cpu/light.c:33-99) for a batch of hits.
 
     Returns (R,3) colors in the cops domain. Rays with hit.mask False get
@@ -89,7 +89,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
         elif kind == DIRECTIONAL:
             shadow_dir = jnp.broadcast_to(-lv, (R, 3))
             fdist = collide_dist(hp, shadow_dir, scene.geometry, mt_eps,
-                                 self_hit_eps, scene_axis)
+                                 self_hit_eps, scene_axis, backend)
             occluded = fdist != 0.0  # has_direct_hit quirk (cpu/light.c:24-31)
             Ldir = jnp.broadcast_to(-lv, (R, 3))
             dif = cops.mul(cops.mul2(lrgb, cops.init(kd)), _dot(Ldir, N)[:, None])
@@ -104,7 +104,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
             dvec = lv[None, :] - hp
             dist = jnp.sqrt(_dot(dvec, dvec))
             fdist = collide_dist(hp, dvec, scene.geometry, mt_eps,
-                                 self_hit_eps, scene_axis)
+                                 self_hit_eps, scene_axis, backend)
             occluded = fdist != 0.0
             # guard: dist == 0 only when the hit point IS the light position
             # (the reference would divide by zero there too)

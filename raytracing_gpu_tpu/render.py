@@ -78,9 +78,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
     def step(o, d, coef, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis)
+                      scene_axis, cfg.backend)
         use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
-        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis)
+        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
+                      cfg.backend)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
@@ -133,9 +134,10 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
     alive = jnp.ones((R,), bool)
     for _ in range(cfg.max_bounce + 1):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis)
+                      scene_axis, cfg.backend)
         use = alive & hit.mask
-        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis)
+        local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
+                      cfg.backend)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
         n = hit.normal
         refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
@@ -252,6 +254,32 @@ def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.nd
         coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh))
         img = _render_gpu_mode(scene, coords, cfg, width, height)
     return np.asarray(img)
+
+
+def render_image(scene: Scene, cfg: RenderConfig | None = None,
+                 depth: int | None = None):
+    """Pure jittable render: scene pytree -> (H, W, 3) f32 image in [0,255].
+
+    Unlike `render_scene` (which returns host numpy and derives the
+    recursion depth from the scene's materials), this stays inside JAX: it
+    can be jit-compiled, vmapped, and — with cfg.quantize="smooth" (the
+    default here) — reverse-mode differentiated end-to-end, so
+    `jax.grad(lambda s: loss(render_image(s)))` yields gradients on every
+    scene leaf (vertices, normals, materials, lights, camera). The recursion
+    depth must be static: it defaults to cfg.diff_max_depth (smooth) /
+    cfg.cpu_max_depth (match) rather than being derived from traced
+    material values.
+    """
+    cfg = cfg or RenderConfig(quantize="smooth")
+    width, height = scene.camera.width, scene.camera.height
+    if depth is None:
+        depth = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
+    if cfg.mode == "cpu":
+        coords = jnp.asarray(camera_ops.cpu_subpixel_coords(width, height))
+        return _render_cpu_mode(scene, coords, cfg, depth, width, height)
+    hw, hh = width * cfg.aliasing, height * cfg.aliasing
+    coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh))
+    return _render_gpu_mode(scene, coords, cfg, width, height)
 
 
 def render(input_path: str, output_path: str, cfg: RenderConfig = RenderConfig()) -> None:
