@@ -1,0 +1,175 @@
+"""Per-stage micro-benchmarks — the gpu/bench.cu analog.
+
+The reference times parser / AABB / scene-scale / position keys / radix sort
+/ prefix sum / octree creation with Google Benchmark over four scenes
+(gpu/bench.cu:13-22,435-442) but never times the render kernel itself
+(SURVEY §2.4). This suite mirrors every stage AND adds the two numbers that
+matter most: the intersection kernel and the end-to-end render.
+
+Usage:  python benches/stage_bench.py [--scenes cube,spheres] [--json out.json]
+Each stage reports best-of-N wall time with inputs on device and
+block_until_ready bracketing (jax.profiler-compatible; add --profile DIR).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+REF = os.environ.get("RGT_REFERENCE", "/root/reference")
+
+# gpu/bench.cu:13-22: cube, island_smooth ("high objects count"), dark-night,
+# spheres
+DEFAULT_SCENES = ["cube", "island_smooth", "dark-night", "spheres"]
+
+
+def timeit(fn, repeats=5, warmup=1):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_scene(name: str, repeats: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_gpu_tpu.config import RenderConfig
+    from raytracing_gpu_tpu.models.parser import parse_scene_text
+    from raytracing_gpu_tpu.models.scene import scene_to_device
+    from raytracing_gpu_tpu.ops import camera as camera_ops
+    from raytracing_gpu_tpu.ops import pallas_intersect as pk
+    from raytracing_gpu_tpu.ops.intersect import collide
+    from raytracing_gpu_tpu.partition.aabb import (
+        compute_object_aabbs,
+        compute_scene_aabb,
+    )
+    from raytracing_gpu_tpu.partition.octree import build_octree, position_keys
+    from raytracing_gpu_tpu.render import render_scene
+
+    path = os.path.join(REF, "tests", name + ".svati")
+    with open(path) as f:
+        src = f.read()
+    rows = {}
+
+    # --- BM_parser (gpu/bench.cu:31-35)
+    t0 = time.perf_counter()
+    scene_host = parse_scene_text(src)
+    rows["parser"] = time.perf_counter() - t0
+
+    scene = scene_to_device(scene_host)
+    geo = scene.geometry
+    n_obj = scene.materials.padded_count
+
+    # --- BM_aabb_object (gpu/bench.cu:41-57)
+    aabb_fn = jax.jit(
+        lambda: compute_object_aabbs(geo.vertices, geo.tri_obj, geo.valid, n_obj)
+    )
+    rows["aabb_build"] = timeit(aabb_fn, repeats)
+    aabbs = aabb_fn()
+    obj_valid = (
+        jax.ops.segment_sum(geo.valid.astype(jnp.int32), geo.tri_obj,
+                            num_segments=n_obj) > 0
+    )
+
+    # --- BM_find_scene_scale (gpu/bench.cu:63-111)
+    scale_fn = jax.jit(lambda: compute_scene_aabb(aabbs, obj_valid))
+    rows["scene_scale"] = timeit(scale_fn, repeats)
+    scene_box = scale_fn()
+
+    # --- BM_position_object (gpu/bench.cu:117-128)
+    pos_fn = jax.jit(lambda: position_keys(aabbs, scene_box, obj_valid))
+    rows["position_keys"] = timeit(pos_fn, repeats)
+    keys, _, _ = pos_fn()
+
+    # --- BM_parallel_radix_sort analog (gpu/bench.cu:224-257: 1e6 u32 keys)
+    rng = np.random.RandomState(0)
+    mkeys = jnp.asarray(rng.randint(0, 2**32, size=1_000_000, dtype=np.uint64)
+                        .astype(np.uint32))
+    sort_fn = jax.jit(lambda: jnp.sort(mkeys))
+    rows["sort_1e6_u32"] = timeit(sort_fn, repeats)
+
+    # --- BM_prefix_sum analog (gpu/bench.cu:309-376: 1e5 elems)
+    vals = jnp.asarray(rng.randint(0, 1000, size=100_000).astype(np.int32))
+    scan_fn = jax.jit(lambda: jnp.cumsum(vals))
+    rows["prefix_sum_1e5"] = timeit(scan_fn, repeats)
+
+    # --- BM_octree_creation (gpu/bench.cu:382-432)
+    oct_fn = jax.jit(lambda: build_octree(aabbs, scene_box, obj_valid))
+    rows["octree_build"] = timeit(oct_fn, repeats)
+
+    # --- intersection kernel (NOT in the reference's bench suite)
+    R = 16384
+    u, v, C = camera_ops.camera_basis(scene.camera)
+    coords = jnp.asarray(
+        camera_ops.cpu_subpixel_coords(scene.camera.width, scene.camera.height)
+    ).reshape(-1, 2)[:R]
+    o, d = camera_ops.make_rays(u, v, C, jnp.asarray(scene.camera.position), coords)
+    o, d = jax.block_until_ready((o, d))
+    for backend in ("jnp", "pallas"):
+        f = jax.jit(lambda o=o, d=d, b=backend: collide(o, d, geo, backend=b).dist)
+        rows[f"collide_{backend}_{R // 1000}k"] = timeit(f, repeats)
+    pairs = R * geo.vertices.shape[0]
+    rows["collide_pallas_gpairs_per_s"] = (
+        pairs / rows[f"collide_pallas_{R // 1000}k"] / 1e9
+    )
+
+    # --- end-to-end render at 64x64 (the number bench.cu never measured)
+    import re as _re
+
+    small = _re.sub(r"camera \d+ \d+", "camera 64 64", src, count=1)
+    sh = parse_scene_text(small)
+    rows["render_64px_e2e"] = timeit(
+        lambda: render_scene(sh, RenderConfig(mode="cpu", quantize="match")),
+        max(2, repeats // 2),
+    )
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", default=",".join(DEFAULT_SCENES))
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="jax.profiler trace output dir")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"platform: {jax.devices()[0].platform}", file=sys.stderr)
+    results = {}
+    ctx = jax.profiler.trace(args.profile) if args.profile else None
+    if ctx:
+        ctx.__enter__()
+    try:
+        for name in args.scenes.split(","):
+            results[name] = bench_scene(name, args.repeats)
+            for k, v in results[name].items():
+                unit = "" if "per_s" in k else " s"
+                print(f"{name:16s} {k:28s} {v:>12.6f}{unit}")
+    finally:
+        if ctx:
+            ctx.__exit__(None, None, None)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
