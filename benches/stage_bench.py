@@ -66,10 +66,18 @@ def bench_scene(name: str, repeats: int):
         src = f.read()
     rows = {}
 
-    # --- BM_parser (gpu/bench.cu:31-35)
+    # --- BM_parser (gpu/bench.cu:31-35): Python and native C++ paths
     t0 = time.perf_counter()
     scene_host = parse_scene_text(src)
-    rows["parser"] = time.perf_counter() - t0
+    rows["parser_py"] = time.perf_counter() - t0
+    try:
+        from raytracing_gpu_tpu.models.parser import parse_scene
+
+        t0 = time.perf_counter()
+        parse_scene(path, native="force")
+        rows["parser_native"] = time.perf_counter() - t0
+    except Exception:
+        pass
 
     scene = scene_to_device(scene_host)
     geo = scene.geometry

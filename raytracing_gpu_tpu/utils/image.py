@@ -21,6 +21,13 @@ def write_ppm(path: str, image: np.ndarray) -> None:
     or integer.
     """
     img = np.asarray(image)
+    try:  # native fast path (byte-exact twin, tests/test_native.py)
+        from raytracing_gpu_tpu.native import svati as _native
+
+        if _native.write_ppm_native(path, img):
+            return
+    except ImportError:
+        pass
     h, w = img.shape[:2]
     vals = img.astype(np.int32)  # C float->int cast truncates toward zero
     with open(path, "w") as f:
