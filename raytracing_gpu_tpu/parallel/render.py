@@ -124,6 +124,10 @@ def render_scene_sharded(scene_host: Scene, cfg: RenderConfig, mesh) -> np.ndarr
     else:
         depth = 0
         hw, hh = width * cfg.aliasing, height * cfg.aliasing
+        # hi-res camera for the basis (gpu/rt.cpp:78-79) — see _render_gpu_mode
+        scene = dataclasses.replace(
+            scene, camera=dataclasses.replace(scene.camera, width=hw, height=hh)
+        )
         coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh)).reshape(-1, 2)
     geo, rest = split_scene(scene)
     img = _render_sharded(geo, rest, coords, mesh, cfg, depth, width, height)

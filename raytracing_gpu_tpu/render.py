@@ -207,9 +207,14 @@ def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height
     domain, matching cpu/colors.c rather than the uint8 roundtrip), and entry
     is unconditional for the first bounce.
     """
+    import dataclasses as _dc
+
     cops = ColorOps(cfg.quantize)
     hw, hh = width * cfg.aliasing, height * cfg.aliasing
-    u, v, C = camera_ops.camera_basis(scene.camera)
+    # gpu/rt.cpp:78-79 multiplies camera w/h by aliasing BEFORE render, so
+    # the image-plane distance L = width/(2 tan(fov/2)) uses the HI-RES width
+    cam_hi = _dc.replace(scene.camera, width=hw, height=hh)
+    u, v, C = camera_ops.camera_basis(cam_hi)
     pos = jnp.asarray(scene.camera.position, jnp.float32)
     flat = coords.reshape(-1, 2)
     origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
@@ -222,13 +227,22 @@ def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height
 def assemble_gpu_image(colors, cfg: RenderConfig, width: int, height: int):
     """(hh*hw,3) hi-res colors -> (H,W,3) via the reference's box downscale
     (gpu/raytracer.cu:49-85): sums uint8-quantized texels, /255/a^2, then
-    init_color re-quantizes."""
+    init_color re-quantizes.
+
+    Orientation: `raytrace` writes sample (px,py) to
+    hi[hh-py-1][hw-px-1] (gpu/raytracer.cu:97,128); `downscale` reads
+    hi[oh-h_py-1][ow-h_px-1] (un-flipping) but writes
+    low[height-py-1][width-px-1] (gpu/raytracer.cu:67-84) — so the final
+    image is the box average of the sample grid flipped on BOTH axes, the
+    same k-decreasing-with-column orientation as the CPU writeout.
+    """
     cops = ColorOps(cfg.quantize)
     a = cfg.aliasing
     hi = cops.finalize(colors.reshape(height * a, width * a, 3))
     t = jnp.trunc(hi)  # uint8 quantization of the hi-res buffer
     box = t.reshape(height, a, width, a, 3).sum(axis=(1, 3))
-    return jnp.clip(box / (255.0 * a * a) * 255.0, 0.0, 255.0)
+    lo = jnp.clip(box / (255.0 * a * a) * 255.0, 0.0, 255.0)
+    return lo[::-1, ::-1]
 
 
 def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.ndarray:

@@ -85,3 +85,48 @@ def test_car_on_road_32():
 
 def test_sphere_spec_32():
     run_match("sphere-spec", 32, 32)
+
+
+# ---- remaining corpus: with these, all 20 tests/*.svati scenes are covered
+
+
+def test_car_32():
+    run_match("car", 32, 32)
+
+
+def test_dark_night_32():
+    """29 objects, 1457 triangles."""
+    run_match("dark-night", 32, 32)
+
+
+def test_island_smooth_32():
+    """50 objects — the reference's octree stress scene (gpu/bench.cu:14);
+    exercised through the octree partitioning path here."""
+    golden = oracle_render("island_smooth", 32, 32)
+    scene = parse_scene_text(scene_text("island_smooth", 32, 32))
+    img = render_scene(
+        scene,
+        RenderConfig(mode="cpu", quantize="match", partitioning="octree"),
+    )
+    assert_images_close(np.trunc(img).astype(np.uint8), golden,
+                        context="island_smooth-octree")
+
+
+def test_secret_24():
+    run_match("secret", 24, 24)
+
+
+def test_secret2_24():
+    run_match("secret2", 24, 24)
+
+
+def test_sphere_spec_smooth_32():
+    run_match("sphere-spec_smooth", 32, 32)
+
+
+def test_sphere_specular_24():
+    run_match("sphere-specular", 24, 24)
+
+
+def test_susans_smooth_32():
+    run_match("susans_smooth", 32, 32)
