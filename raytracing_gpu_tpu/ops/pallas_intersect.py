@@ -26,7 +26,7 @@ re-running single-triangle Möller–Trumbore on the gathered winner (R x 1
 work) — keeping the kernel to two small outputs.
 
 Tile-level AABB culling (PARTITIONING_{AABB,OCTREE} analog): a precomputed
-(nR, nT) mask gates each pair tile with `pl.when`, skipping the entire MT
+(nT, nR) mask gates each pair tile with `pl.when`, skipping the entire MT
 evaluation for tiles no ray can hit.
 """
 
@@ -107,7 +107,7 @@ def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
         dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
         idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-    @pl.when(tilemask_ref[i, j] > 0)
+    @pl.when(tilemask_ref[j, i] > 0)
     def _():
         dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
                         mt_eps, self_hit_eps)  # (TT, TR)
@@ -133,8 +133,11 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     origins_p/dirs_p: (3, R) with R % TILE_R == 0.
     v0/e1/e2: (T, 3) with T % TILE_T == 0 (invalid triangles must be
       degenerate: e1 = e2 = 0 -> |a| < eps rejects them).
-    tile_mask: (nR, nT) int32 — 0 skips the pair tile entirely (AABB
-      culling); pass ones for brute force.
+    tile_mask: (nT, nR) int32 — 0 skips the pair tile entirely (AABB
+      culling); pass ones for brute force. Stored triangle-tile-major
+      because scalar-prefetch SMEM operands pad the minor dimension to the
+      128-lane width: with rays minor the padded footprint stays ~4*nT*nR
+      bytes instead of 512*nR.
     Returns (dist (R,), idx (R,)) with dist == +inf on miss.
     """
     R = origins_p.shape[1]
@@ -219,7 +222,7 @@ def obj_tile_table(tri_obj, valid, n_objects: int, n_tri_tiles: int):
 
 
 def tile_cull_mask(origins, dirs, geometry, n_objects, n_ray_tiles, n_tri_tiles):
-    """(nR, nT) int32 tile mask from per-object AABBs, or all-ones.
+    """(nT, nR) int32 tile mask from per-object AABBs, or all-ones.
 
     A pair tile runs iff ANY ray in the tile hits the (node-)AABB of ANY
     object with triangles in the tile. Factored through objects so nothing
@@ -227,7 +230,7 @@ def tile_cull_mask(origins, dirs, geometry, n_objects, n_ray_tiles, n_tri_tiles)
     -> (nR,O) @ (O,nT) boolean matmul.
     """
     if geometry.obj_aabb is None:
-        return jnp.ones((n_ray_tiles, n_tri_tiles), jnp.int32)
+        return jnp.ones((n_tri_tiles, n_ray_tiles), jnp.int32)
     from raytracing_gpu_tpu.partition.aabb import hit_aabb
 
     ohit = hit_aabb(origins, dirs, geometry.obj_aabb)  # (R, O)
@@ -240,6 +243,6 @@ def tile_cull_mask(origins, dirs, geometry, n_objects, n_ray_tiles, n_tri_tiles)
     tile_ray_obj = ohit.reshape(n_ray_tiles, TILE_R, -1).any(axis=1)  # (nR,O)
     tab = obj_tile_table(geometry.tri_obj, geometry.valid, n_objects,
                          n_tri_tiles)  # (nT,O)
-    hits = jnp.dot(tile_ray_obj.astype(jnp.float32), tab.T.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+    hits = jnp.dot(tab.astype(jnp.float32), tile_ray_obj.T.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)  # (nT, nR)
     return (hits > 0.0).astype(jnp.int32)

@@ -78,6 +78,29 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
     N = hit.normal
     hp = hit.point
 
+    # ---- one batched shadow pass for ALL non-ambient lights: the reference
+    # traces one shadow ray per light per pixel serially (cpu/light.c:58,80);
+    # here the K lights' shadow batches concatenate into a single (K*R)
+    # intersection call — same rays, same math, 1/K the kernel launches.
+    shadow_of = {}
+    sdirs = []
+    for li, kind in enumerate(lights.kind):
+        if kind == DIRECTIONAL:
+            shadow_of[li] = len(sdirs)
+            sdirs.append(jnp.broadcast_to(-lights.v[li], (R, 3)))
+        elif kind == POINT:
+            shadow_of[li] = len(sdirs)
+            sdirs.append(lights.v[li][None, :] - hp)  # cpu/light.c:80
+    if sdirs:
+        K = len(sdirs)
+        so = jnp.tile(hp, (K, 1))
+        sd = jnp.concatenate(sdirs, axis=0)
+        fd = collide_dist(so, sd, scene.geometry, mt_eps, self_hit_eps,
+                          scene_axis, backend)
+        occluded_all = (fd != 0.0).reshape(K, R)  # has_direct_hit quirk
+    else:
+        occluded_all = None
+
     color = cops.zeros((R,))
     for li, kind in enumerate(lights.kind):  # static structure; unrolled
         rgb = lights.rgb[li]  # (3,)
@@ -87,10 +110,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
         if kind == AMBIENT:
             contrib = cops.mul2(lrgb, cops.init(ka))
         elif kind == DIRECTIONAL:
-            shadow_dir = jnp.broadcast_to(-lv, (R, 3))
-            fdist = collide_dist(hp, shadow_dir, scene.geometry, mt_eps,
-                                 self_hit_eps, scene_axis, backend)
-            occluded = fdist != 0.0  # has_direct_hit quirk (cpu/light.c:24-31)
+            occluded = occluded_all[shadow_of[li]]
             Ldir = jnp.broadcast_to(-lv, (R, 3))
             dif = cops.mul(cops.mul2(lrgb, cops.init(kd)), _dot(Ldir, N)[:, None])
             inc_dir = jnp.broadcast_to(lv, (R, 3))
@@ -103,9 +123,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
             Np = jnp.where(flip[:, None], -N, N)
             dvec = lv[None, :] - hp
             dist = jnp.sqrt(_dot(dvec, dvec))
-            fdist = collide_dist(hp, dvec, scene.geometry, mt_eps,
-                                 self_hit_eps, scene_axis, backend)
-            occluded = fdist != 0.0
+            occluded = occluded_all[shadow_of[li]]
             # guard: dist == 0 only when the hit point IS the light position
             # (the reference would divide by zero there too)
             safe_dist = jnp.where(dist > 0.0, dist, 1.0)

@@ -100,7 +100,7 @@ def test_tile_cull_mask_conservative(scene):
     geo = acc.geometry
     T = geo.vertices.shape[0]
     nt = -(-T // pk.TILE_T)
-    mask = np.asarray(pk.tile_cull_mask(o, d, geo, geo.obj_aabb.shape[0], 1, nt))
+    mask = np.asarray(pk.tile_cull_mask(o, d, geo, geo.obj_aabb.shape[0], 1, nt)).T
     hit = collide(o, d, dev.geometry)
     # winner triangle's tile must not be culled
     from raytracing_gpu_tpu.ops.intersect import _mt_core
@@ -124,7 +124,7 @@ def test_pack_rays_padding_misses():
     nr = op.shape[1] // pk.TILE_R
     nt = v0.shape[0] // pk.TILE_T
     dist, idx = pk.nearest_hit_pallas(
-        op, dp, v0, e1, e2, jnp.ones((nr, nt), jnp.int32), 1e-7, 0.01
+        op, dp, v0, e1, e2, jnp.ones((nt, nr), jnp.int32), 1e-7, 0.01
     )
     assert R == 3
     assert not np.isfinite(np.asarray(dist[3:])).any()
