@@ -33,8 +33,11 @@ class RenderConfig:
         (differentiable; allclose to the oracle away from clamp boundaries).
       partitioning: "none" | "aabb" | "octree" — runtime analog of the
         reference's PARTITIONING_* compile-time matrix (gpu/CMakeLists.txt:12-15).
-      backend: "jnp" (pure-XLA batched path) or "pallas" (hand-written TPU
-        kernels for the intersection hot loop).
+      backend: "jnp" (pure-XLA batched path), "pallas" (hand-written TPU
+        VPU kernel for the intersection hot loop), or "mxu" (Pallas kernel
+        with the Möller–Trumbore determinants reformulated as MXU matmuls —
+        fastest on TPU; winners may flip on geometry edges vs the other
+        backends because the arithmetic association differs).
       max_bounce: bounce cap for "gpu" mode (gpu/raytracer.cu:113).
       cpu_max_depth: safety cap on the emulated recursion depth in "cpu" mode
         (the reference recursion terminates via coef < cutoff, which never
@@ -74,5 +77,5 @@ class RenderConfig:
             raise ValueError(f"quantize must be 'match' or 'smooth', got {self.quantize!r}")
         if self.partitioning not in ("none", "aabb", "octree"):
             raise ValueError(f"bad partitioning {self.partitioning!r}")
-        if self.backend not in ("jnp", "pallas"):
+        if self.backend not in ("jnp", "pallas", "mxu"):
             raise ValueError(f"bad backend {self.backend!r}")

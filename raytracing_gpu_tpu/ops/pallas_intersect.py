@@ -93,6 +93,23 @@ def _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref, mt_eps, self_hit_eps):
     return _sel(ok, dist, jnp.full_like(dist, _INF))
 
 
+def _accum_nearest(i, j, dist, dist_ref, idx_ref):
+    """Fold a (TILE_T, TILE_R) pair-tile distance block into the running
+    (min-dist, argmin) accumulator rows for ray tile i."""
+    tmin = jnp.min(dist, axis=0, keepdims=True)  # (1, TR)
+    rows = lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+    # first-occurrence argmin: smallest row among minima
+    is_min = dist == jnp.broadcast_to(tmin, dist.shape)
+    targ = jnp.min(_sel(is_min, rows, jnp.full_like(rows, TILE_T)),
+                   axis=0, keepdims=True)  # (1, TR)
+    acc = dist_ref[pl.ds(i, 1), :]
+    better = tmin < acc  # strict: earlier tile wins ties
+    dist_ref[pl.ds(i, 1), :] = lax.select(better, tmin, acc)
+    idx_ref[pl.ds(i, 1), :] = lax.select(
+        better, j * TILE_T + targ, idx_ref[pl.ds(i, 1), :]
+    )
+
+
 def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
                     dist_ref, idx_ref, *, mt_eps, self_hit_eps):
     """dist_ref/idx_ref hold the FULL (nr, TILE_R) result in VMEM (a few
@@ -111,18 +128,7 @@ def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
     def _():
         dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
                         mt_eps, self_hit_eps)  # (TT, TR)
-        tmin = jnp.min(dist, axis=0, keepdims=True)  # (1, TR)
-        rows = lax.broadcasted_iota(jnp.int32, dist.shape, 0)
-        # first-occurrence argmin: smallest row among minima
-        is_min = dist == jnp.broadcast_to(tmin, dist.shape)
-        targ = jnp.min(_sel(is_min, rows, jnp.full_like(rows, TILE_T)),
-                       axis=0, keepdims=True)  # (1, TR)
-        acc = dist_ref[pl.ds(i, 1), :]
-        better = tmin < acc  # strict: earlier tile wins ties
-        dist_ref[pl.ds(i, 1), :] = lax.select(better, tmin, acc)
-        idx_ref[pl.ds(i, 1), :] = lax.select(
-            better, j * TILE_T + targ, idx_ref[pl.ds(i, 1), :]
-        )
+        _accum_nearest(i, j, dist, dist_ref, idx_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
@@ -178,6 +184,152 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     return dist.reshape(R), idx.reshape(R)
 
 
+# ---------------------------------------------------------------------------
+# MXU (matmul) formulation
+#
+# Möller–Trumbore's four per-pair determinants are *bilinear* in the ray and
+# the triangle: with per-ray features F = [d, m=o×d, o, 1, |d|] and
+# per-triangle feature rows G built from {n=e1×e2, e2, e2×v0, e1, v0×e1,
+# v0·n}, each determinant is one row of G @ F (scalar triple-product
+# expansions; [a,b,c] = a·(b×c) is cyclic):
+#
+#   a     = e1·(d×e2)        = (−n)·d
+#   u_num = (o−v0)·(d×e2)    = e2·m − (e2×v0)·d
+#   v_num = d·((o−v0)×e1)    = (−e1)·m − (v0×e1)·d
+#   t_num = (o−v0)·(e1×e2)   = n·o − (v0·n)·1
+#
+# so the whole rays×triangles sweep becomes four (TILE_T,16)@(16,TILE_R)
+# matmuls on the MXU systolic array (precision=HIGHEST keeps f32 accuracy:
+# ~1.6e-7 max rel err measured on-chip) plus a short VPU epilogue
+# (divide + the reference's acceptance tests + the min/argmin fold), instead
+# of ~60 VPU ops per pair. The arithmetic association differs from
+# cpu/hit.c, so winners can flip exactly on geometry edges — the same f32
+# jitter class the edge-aware comparator already absorbs.
+# ---------------------------------------------------------------------------
+
+_KF = 16  # feature rows, padded to a sublane multiple
+
+
+def pack_rays_mxu(origins, dirs):
+    """(R,3) rays -> (16, Rp) F feature planes (padded like pack_rays).
+
+    Rows: 0-2 = d, 3-5 = m = o×d, 6-8 = o, 9 = 1, 10 = |d|, 11-15 = 0.
+    """
+    op, dp, R = pack_rays(origins, dirs)  # (3, Rp)
+    o, d = op.T, dp.T  # (Rp, 3)
+    m = jnp.cross(o, d)
+    ones = jnp.ones((o.shape[0], 1), o.dtype)
+    dlen2 = jnp.sum(d * d, axis=-1, keepdims=True)
+    dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
+    zeros = jnp.zeros((o.shape[0], _KF - 11), o.dtype)
+    return jnp.concatenate([d, m, o, ones, dlen, zeros], axis=1).T, R
+
+
+def pack_tri_features(v0, e1, e2):
+    """Padded (Tp,3) v0/e1/e2 -> (4, Tp, 16) G blocks [a; u_num; v_num; t_num].
+
+    Degenerate padding rows (e1=e2=0) give n=0 -> a=0, rejected in-kernel by
+    the |a| >= eps determinant test exactly like the VPU kernel.
+    """
+    n = jnp.cross(e1, e2)
+    z1 = jnp.zeros_like(v0[:, :1])
+    z3 = jnp.zeros_like(v0)
+    zp = jnp.zeros((v0.shape[0], _KF - 10), v0.dtype)
+    ga = jnp.concatenate([-n, z3, z3, z1, zp], axis=1)
+    gu = jnp.concatenate([-jnp.cross(e2, v0), e2, z3, z1, zp], axis=1)
+    gv = jnp.concatenate([-jnp.cross(v0, e1), -e1, z3, z1, zp], axis=1)
+    gt = jnp.concatenate(
+        [z3, z3, n, -jnp.sum(v0 * n, axis=1, keepdims=True), zp], axis=1
+    )
+    return jnp.stack([ga, gu, gv, gt])  # (4, Tp, 16)
+
+
+def _mxu_kernel(tilemask_ref, f_ref, g_ref, dist_ref, idx_ref, *,
+                mt_eps, self_hit_eps):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
+        idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    @pl.when(tilemask_ref[j, i] > 0)
+    def _():
+        F = f_ref[:, :]  # (16, TR)
+
+        def dot(g):  # (TT,16)@(16,TR) on the MXU, f32-accurate
+            return lax.dot_general(
+                g, F, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        a = dot(g_ref[0])  # (TT, TR)
+        un = dot(g_ref[1])
+        vn = dot(g_ref[2])
+        tn = dot(g_ref[3])
+
+        ok = jnp.abs(a) >= mt_eps
+        f = 1.0 / _sel(ok, a, jnp.ones_like(a))
+        u = un * f
+        ok &= (u >= 0.0) & (u <= 1.0)
+        v = vn * f
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+        t = tn * f
+        ok &= t > mt_eps
+        dist = t * f_ref[10:11, :]  # |d| row -> dist = t * |d|
+        ok &= dist > self_hit_eps
+        dist = _sel(ok, dist, jnp.full_like(dist, _INF))
+        _accum_nearest(i, j, dist, dist_ref, idx_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
+def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
+    """MXU variant of nearest_hit_pallas.
+
+    rayf: (16, R) from pack_rays_mxu; g: (4, T, 16) from pack_tri_features;
+    tile_mask as in nearest_hit_pallas. Returns (dist (R,), idx (R,)).
+    """
+    R = rayf.shape[1]
+    T = g.shape[1]
+    nr, nt = R // TILE_R, T // TILE_T
+    kernel = functools.partial(
+        _mxu_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, nt),
+        in_specs=[
+            pl.BlockSpec((_KF, TILE_R), lambda i, j, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, TILE_T, _KF), lambda i, j, *_: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+            jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(nr) * int(nt) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
+            bytes_accessed=(nr * _KF * TILE_R + nt * 4 * _KF * TILE_T) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(tile_mask, rayf, g)
+    return dist.reshape(R), idx.reshape(R)
+
+
 def pack_triangles(vertices, valid):
     """(T,3,3) triangle soup -> ((Tp,3) v0/e1/e2), padded to TILE_T with
     degenerate rows (e1=e2=0, rejected by the determinant test)."""
@@ -209,6 +361,85 @@ def pack_rays(origins, dirs):
             [dirs, jnp.concatenate([jnp.zeros((pad, 2)), jnp.ones((pad, 1))], axis=1).astype(dirs.dtype)]
         )
     return origins.T, dirs.T, R
+
+
+def cluster_triangles(vertices, valid):
+    """Spatially cluster triangles into TILE_T-sized tiles (morton order).
+
+    The file-order triangle tiles the kernel sweeps have no spatial
+    coherence, so tile-level AABB culling at object granularity is weak.
+    Reordering triangles by the morton key of their centroid (the same
+    8-bit/axis interleaved grid as the octree's position_object,
+    octree.cu:126-196, but per TRIANGLE) makes each 256-triangle tile
+    spatially compact, and its tight AABB culls most (ray-tile, tri-tile)
+    pairs — a BVH-leaf analog riding the existing SMEM tile mask.
+
+    Returns (perm (Tp,) int32 — clustered slot -> original triangle index,
+    with invalid/padding triangles sorted last; tile_aabb (nT,2,3) f32;
+    tile_nonempty (nT,) bool). Pure jnp; jits and runs per collide call
+    (O(T log T) on thousands of triangles — noise next to the R x T sweep).
+
+    Tie-break note: the kernel's argmin then prefers the first triangle in
+    CLUSTERED order rather than file order. Exact f32 distance ties between
+    distinct triangles are the only case where this changes the winner —
+    the same measure-zero edge class the comparator already absorbs.
+    """
+    T = vertices.shape[0]
+    centroid = vertices.mean(axis=1)  # (T,3)
+    vmin = jnp.where(valid[:, None], jnp.min(
+        jnp.where(valid[:, None, None], vertices, _INF), axis=1), _INF)
+    vmax = jnp.where(valid[:, None], jnp.max(
+        jnp.where(valid[:, None, None], vertices, -_INF), axis=1), -_INF)
+    smin = vmin.min(axis=0)
+    smax = vmax.max(axis=0)
+    size = jnp.where(smax - smin > 0.0, smax - smin, 1.0)
+    q = jnp.clip(jnp.floor((centroid - smin) / size * 256.0), 0, 255
+                 ).astype(jnp.int32)
+    morton = jnp.zeros((T,), jnp.uint32)
+    for b in range(8):
+        grp = (((q[:, 0] >> b) & 1) << 2) | (((q[:, 1] >> b) & 1) << 1) | (
+            (q[:, 2] >> b) & 1)
+        morton = morton | (grp.astype(jnp.uint32) << jnp.uint32(3 * b))
+    keys = jnp.where(valid, morton, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
+
+    pad = (-T) % TILE_T
+    nT = (T + pad) // TILE_T
+    svmin = vmin[perm]
+    svmax = vmax[perm]
+    sval = valid[perm]
+    if pad:
+        svmin = jnp.concatenate([svmin, jnp.full((pad, 3), _INF)])
+        svmax = jnp.concatenate([svmax, jnp.full((pad, 3), -_INF)])
+        sval = jnp.concatenate([sval, jnp.zeros((pad,), bool)])
+    tmin = svmin.reshape(nT, TILE_T, 3).min(axis=1)
+    tmax = svmax.reshape(nT, TILE_T, 3).max(axis=1)
+    tile_nonempty = sval.reshape(nT, TILE_T).any(axis=1)
+    # empty tiles: replace the (inf,-inf) box with a point so the slab test
+    # stays NaN-free; they are masked off via tile_nonempty anyway
+    tmin = jnp.where(tile_nonempty[:, None], tmin, 0.0)
+    tmax = jnp.where(tile_nonempty[:, None], tmax, 0.0)
+    return perm, jnp.stack([tmin, tmax], axis=1), tile_nonempty
+
+
+def tile_cull_mask_clustered(origins, dirs, tile_aabb, tile_nonempty,
+                             n_ray_tiles):
+    """(nT, nR) int32 tile mask from per-tile AABBs of clustered triangles.
+
+    Forward-only slab test (t >= 0): boxes entirely behind a ray cannot hold
+    an accepted hit (dist > self-hit eps), which culls most tiles for shadow
+    and bounce rays leaving a surface.
+    """
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb_forward
+
+    thit = hit_aabb_forward(origins, dirs, tile_aabb)  # (R, nT)
+    thit &= tile_nonempty[None, :]
+    R = origins.shape[0]
+    pad_r = n_ray_tiles * TILE_R - R
+    if pad_r:
+        thit = jnp.concatenate([thit, jnp.zeros((pad_r, thit.shape[1]), bool)])
+    tile_pair = thit.reshape(n_ray_tiles, TILE_R, -1).any(axis=1)  # (nR,nT)
+    return tile_pair.T.astype(jnp.int32)  # (nT, nR)
 
 
 def obj_tile_table(tri_obj, valid, n_objects: int, n_tri_tiles: int):

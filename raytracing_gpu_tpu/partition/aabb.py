@@ -60,3 +60,21 @@ def hit_aabb(origins, dirs, boxes):
     tmin = jnp.minimum(t1, t2).max(axis=-1)
     tmax = jnp.maximum(t1, t2).min(axis=-1)
     return tmax >= tmin
+
+
+def hit_aabb_forward(origins, dirs, boxes):
+    """Slab test restricted to the forward half-line (t >= 0) — used for
+    CULLING only, where it is strictly tighter than `hit_aabb` yet still
+    conservative: every accepted triangle hit has t > 0 (dist > self-hit
+    epsilon, cpu/hit.c:59), so a box whose ray interval lies entirely behind
+    the origin cannot contain one. Boxes behind the ray are the common case
+    for shadow and bounce rays leaving a surface."""
+    d = dirs[:, None, :]  # (R,1,3)
+    d = jnp.where(d == 0.0, 1e-30, d)
+    inv = 1.0 / d
+    o = origins[:, None, :]
+    t1 = (boxes[None, :, 0, :] - o) * inv  # (R,B,3)
+    t2 = (boxes[None, :, 1, :] - o) * inv
+    tmin = jnp.minimum(t1, t2).max(axis=-1)
+    tmax = jnp.maximum(t1, t2).min(axis=-1)
+    return (tmax >= tmin) & (tmax >= 0.0)

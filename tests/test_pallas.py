@@ -113,6 +113,110 @@ def test_tile_cull_mask_conservative(scene):
             assert mask[0, win[r] // pk.TILE_T] == 1
 
 
+def test_mxu_collide_matches_jnp(scene):
+    """The MXU (matmul-formulation) backend agrees with the jnp argmin path.
+
+    The determinants are computed via a different association (expanded
+    triple products on the MXU), so distances agree to ~1e-6 rel and winners
+    may flip only on exact f32 ties / geometry edges. For random rays against
+    a smooth sphere these are measure-zero; require full agreement here.
+    """
+    dev = scene_to_device(scene)
+    rng = np.random.RandomState(1)
+    R = 64
+    o = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0)
+    d = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0)
+    jhit = collide(o, d, dev.geometry)
+    mhit = collide(o, d, dev.geometry, backend="mxu")
+    np.testing.assert_array_equal(np.asarray(jhit.mask), np.asarray(mhit.mask))
+    m = np.asarray(jhit.mask)
+    np.testing.assert_array_equal(np.asarray(jhit.obj)[m], np.asarray(mhit.obj)[m])
+    np.testing.assert_allclose(
+        np.asarray(jhit.dist)[m], np.asarray(mhit.dist)[m], rtol=1e-5
+    )
+
+
+def test_render_mxu_matches_jnp(scene):
+    """Full render through the MXU backend, edge-aware compare vs jnp."""
+    from raytracing_gpu_tpu.utils.compare import assert_images_close
+
+    ref = render_scene(scene, RenderConfig(mode="cpu", quantize="match"))
+    mxu = render_scene(
+        scene, RenderConfig(mode="cpu", quantize="match", backend="mxu")
+    )
+    assert_images_close(
+        np.trunc(mxu).astype(np.uint8), np.trunc(ref).astype(np.uint8),
+        tol=1, context="mxu-vs-jnp",
+    )
+
+
+def test_cluster_perm_is_permutation(scene):
+    """cluster_triangles returns a true permutation with invalid rows last."""
+    dev = scene_to_device(scene)
+    geo = dev.geometry
+    perm, tile_aabb, tile_nonempty = jax.jit(pk.cluster_triangles)(
+        geo.vertices, geo.valid
+    )
+    p = np.asarray(perm)
+    T = geo.vertices.shape[0]
+    assert sorted(p.tolist()) == list(range(T))
+    val = np.asarray(geo.valid)
+    n_valid = int(val.sum())
+    assert val[p][:n_valid].all() and not val[p][n_valid:].any()
+    # every valid triangle's vertices lie inside its tile AABB
+    verts = np.asarray(geo.vertices)[p]
+    boxes = np.asarray(tile_aabb)
+    for j in range(boxes.shape[0]):
+        sl = slice(j * pk.TILE_T, (j + 1) * pk.TILE_T)
+        vv = verts[sl][val[p][sl]]
+        if vv.size:
+            assert bool(np.asarray(tile_nonempty)[j])
+            assert (vv.reshape(-1, 3) >= boxes[j, 0] - 1e-6).all()
+            assert (vv.reshape(-1, 3) <= boxes[j, 1] + 1e-6).all()
+
+
+def test_cluster_cull_mask_conservative(scene):
+    """No (ray tile, clustered tri tile) holding a true winner is culled."""
+    dev = scene_to_device(scene)
+    geo = dev.geometry
+    rng = np.random.RandomState(2)
+    R = pk.TILE_R
+    o = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0)
+    d = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0)
+    perm, tile_aabb, tile_nonempty = pk.cluster_triangles(geo.vertices, geo.valid)
+    mask = np.asarray(
+        pk.tile_cull_mask_clustered(o, d, tile_aabb, tile_nonempty, 1)
+    )  # (nT, 1)
+    from raytracing_gpu_tpu.ops.intersect import _mt_core
+
+    verts_c = geo.vertices[perm]
+    dist, *_ = _mt_core(o, d, verts_c, geo.normals[perm], geo.valid[perm],
+                        1e-7, 0.01)
+    dn = np.asarray(dist)
+    win = dn.argmin(axis=1)
+    for r in range(R):
+        if np.isfinite(dn[r, win[r]]):
+            assert mask[win[r] // pk.TILE_T, 0] == 1
+
+
+def test_hit_aabb_forward_behind_ray():
+    """Forward slab test: box behind the origin culled, ahead/containing hit."""
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb_forward
+
+    o = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    boxes = jnp.asarray(
+        [
+            [[-1.0, -1.0, 2.0], [1.0, 1.0, 3.0]],    # ahead -> hit
+            [[-1.0, -1.0, -3.0], [1.0, 1.0, -2.0]],  # behind -> miss
+            [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],   # contains origin -> hit
+        ],
+        jnp.float32,
+    )
+    got = np.asarray(hit_aabb_forward(o, d, boxes))[0]
+    np.testing.assert_array_equal(got, [True, False, True])
+
+
 def test_pack_rays_padding_misses():
     """Padded ray lanes must produce no hits."""
     scene = make_sphere_scene(width=8, height=8, n_lat=6, n_lon=9)
