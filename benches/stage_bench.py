@@ -128,7 +128,7 @@ def bench_scene(name: str, repeats: int):
     ).reshape(-1, 2)[:R]
     o, d = camera_ops.make_rays(u, v, C, jnp.asarray(scene.camera.position), coords)
     o, d = jax.block_until_ready((o, d))
-    for backend in ("jnp", "pallas"):
+    for backend in ("jnp", "pallas", "mxu"):
         f = jax.jit(lambda o=o, d=d, b=backend: collide(o, d, geo, backend=b).dist)
         rows[f"collide_{backend}_{R // 1000}k"] = timeit(f, repeats)
     pairs = R * geo.vertices.shape[0]

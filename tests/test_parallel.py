@@ -47,6 +47,22 @@ def test_sharded_render_matches_single_device(scene, tiles, shards):
     np.testing.assert_array_equal(np.trunc(ref), np.trunc(img))
 
 
+@pytest.mark.parametrize("backend", ["pallas", "mxu"])
+@pytest.mark.parametrize("tiles,shards", [(8, 1), (4, 2)])
+def test_sharded_render_kernel_backends(scene, backend, tiles, shards):
+    """The Pallas/MXU kernels run inside shard_map (per-device grids over
+    the local ray block x local triangle shard) and must reproduce the
+    single-device render of the SAME backend bit-for-bit: tile splitting is
+    ray-axis chunking, scene splitting is the same first-occurrence argmin
+    combine the jnp path uses."""
+    cfg = RenderConfig(mode="cpu", quantize="match", ray_chunk=512,
+                       backend=backend)
+    ref = render_scene(scene, cfg)
+    mesh = make_mesh(tiles, shards)
+    img = render_scene_sharded(scene, cfg, mesh)
+    np.testing.assert_array_equal(np.trunc(ref), np.trunc(img))
+
+
 def test_sharded_gpu_mode_matches(scene):
     cfg = RenderConfig(mode="gpu", quantize="match", aliasing=2, ray_chunk=512)
     ref = render_scene(scene, cfg)
