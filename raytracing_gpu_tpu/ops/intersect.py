@@ -122,25 +122,35 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
 
 
 def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
-                    mxu: bool = False):
+                    mxu: bool = False, pack=None):
     """(wdist, win) via the Pallas pair-tile kernel (+tile-level culling).
 
     mxu=True uses the matmul formulation (pallas_intersect.nearest_hit_mxu):
     Möller–Trumbore determinants as (TILE_T,16)@(16,TILE_R) MXU matmuls.
+
+    AD barrier: the kernel only SELECTS (winner index + hit mask), both
+    piecewise-constant in the inputs, so all inputs are stop_gradient'd
+    here — reverse mode never differentiates through pallas_call. The
+    differentiable values (u, v, t, dist, point, normal) are recomputed on
+    the winner by the caller with plain jnp ops.
     """
     from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
 
     # Spatial clustering: reorder triangles so each kernel tile is compact,
     # then cull (ray-tile, tri-tile) pairs against per-tile AABBs — far
     # tighter than object-granularity culling, and active even with
     # partitioning="none" (it is kernel tiling, not a semantic change).
-    perm, tile_aabb, tile_nonempty = pk.cluster_triangles(
-        geometry.vertices, geometry.valid
-    )
-    verts_c = geometry.vertices[perm]
-    valid_c = geometry.valid[perm]
-    v0, e1, e2 = pk.pack_triangles(verts_c, valid_c)
-    nt = v0.shape[0] // pk.TILE_T
+    # Computed once per render and passed in via `pack`; the fallback here
+    # serves direct collide() calls.
+    if pack is None:
+        geometry = jax.tree.map(jax.lax.stop_gradient, geometry)
+        pack = pk.pack_geometry(geometry.vertices, geometry.valid)
+    else:
+        pack = jax.tree.map(jax.lax.stop_gradient, pack)
+    op, dp, R = pk.pack_rays(origins, dirs)
     if mxu:
         # Recenter on the ray-origin centroid: Möller–Trumbore is
         # translation-invariant, and the expanded triple products in the
@@ -149,22 +159,21 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
         # with the camera at distance 4 — vs 1e-6 after centering; for
         # primary rays o-c == 0 exactly, eliminating the m=o×d terms).
         c = jnp.mean(origins, axis=0)
-        rayf, R = pk.pack_rays_mxu(origins - c, dirs)
-        nr = rayf.shape[1] // pk.TILE_R
-        mask = pk.tile_cull_mask_clustered(origins, dirs, tile_aabb,
-                                           tile_nonempty, nr)
-        g = pk.pack_tri_features(v0 - c, e1, e2)
+        oc = op - c[:, None]
+        mask = pk.tile_cull_mask_packed(oc, dp, pack.tile_aabb - c,
+                                        pack.tile_nonempty)
+        rayf = pk.ray_features_mxu(oc, dp)
+        g = pk.pack_tri_features(pack.v0 - c, pack.e1, pack.e2)
         dist, idx = pk.nearest_hit_mxu(rayf, g, mask,
                                        float(mt_eps), float(self_hit_eps))
     else:
-        op, dp, R = pk.pack_rays(origins, dirs)
-        nr = op.shape[1] // pk.TILE_R
-        mask = pk.tile_cull_mask_clustered(origins, dirs, tile_aabb,
-                                           tile_nonempty, nr)
-        dist, idx = pk.nearest_hit_pallas(op, dp, v0, e1, e2, mask,
-                                          float(mt_eps), float(self_hit_eps))
+        mask = pk.tile_cull_mask_packed(op, dp, pack.tile_aabb,
+                                        pack.tile_nonempty)
+        dist, idx = pk.nearest_hit_pallas(op, dp, pack.v0, pack.e1, pack.e2,
+                                          mask, float(mt_eps),
+                                          float(self_hit_eps))
     # map clustered winner slots back to original triangle indices
-    win = jnp.take(perm, jnp.clip(idx[:R], 0, perm.shape[0] - 1))
+    win = jnp.take(pack.perm, jnp.clip(idx[:R], 0, pack.perm.shape[0] - 1))
     return dist[:R], win
 
 
@@ -188,7 +197,8 @@ def _winner_uvt(origins, dirs, geometry, win, mt_eps):
 
 
 def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
-            scene_axis: str | None = None, backend: str = "jnp") -> Hit:
+            scene_axis: str | None = None, backend: str = "jnp",
+            pack=None) -> Hit:
     """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
 
     Differentiable: the winner index is discrete (piecewise-constant) but the
@@ -207,9 +217,17 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     R = origins.shape[0]
     if backend in ("pallas", "mxu"):
         wdist, win = _pallas_nearest(origins, dirs, geometry, mt_eps,
-                                     self_hit_eps, mxu=backend == "mxu")
+                                     self_hit_eps, mxu=backend == "mxu",
+                                     pack=pack)
         mask = jnp.isfinite(wdist)
         wu, wv, wt = _winner_uvt(origins, dirs, geometry, win, mt_eps)
+        # Report dist recomputed from the winner's t (same arithmetic as
+        # _mt_core, so bit-identical to the jnp backend) rather than the
+        # kernel's accumulator value: the recomputation is differentiable
+        # w.r.t. geometry, while pallas_call output is not; acceptance
+        # (mask) still comes from the kernel.
+        dlen2_w = jnp.sum(dirs * dirs, axis=-1)
+        wdist = wt * jnp.sqrt(jnp.where(dlen2_w > 0.0, dlen2_w, 1.0))
     else:
         dist, u, v, t, ok = _mt_core(
             origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
@@ -279,7 +297,8 @@ def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
 
 
 def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
-                 scene_axis: str | None = None, backend: str = "jnp"):
+                 scene_axis: str | None = None, backend: str = "jnp",
+                 pack=None):
     """Nearest-hit distance, 0.0 on miss — `collide_dist` (cpu/hit.c:93-109).
 
     Used for shadow rays; cheaper than `collide` (no winner gather). Under
@@ -289,7 +308,7 @@ def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     """
     if backend in ("pallas", "mxu"):
         m, _ = _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
-                               mxu=backend == "mxu")
+                               mxu=backend == "mxu", pack=pack)
     else:
         dist, _, _, _, _ = _mt_core(
             origins, dirs, geometry.vertices, geometry.normals, geometry.valid,

@@ -33,6 +33,7 @@ evaluation for tiles no ray can hit.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -210,19 +211,25 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
 _KF = 16  # feature rows, padded to a sublane multiple
 
 
-def pack_rays_mxu(origins, dirs):
-    """(R,3) rays -> (16, Rp) F feature planes (padded like pack_rays).
+def ray_features_mxu(op, dp):
+    """Packed (3, Rp) rays -> (16, Rp) F feature planes, all lane-major.
 
     Rows: 0-2 = d, 3-5 = m = o×d, 6-8 = o, 9 = 1, 10 = |d|, 11-15 = 0.
     """
+    ox, oy, oz = op[0], op[1], op[2]  # (Rp,)
+    dx, dy, dz = dp[0], dp[1], dp[2]
+    m = jnp.stack([oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx])
+    ones = jnp.ones((1, op.shape[1]), op.dtype)
+    dlen2 = dx * dx + dy * dy + dz * dz
+    dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))[None, :]
+    zeros = jnp.zeros((_KF - 11, op.shape[1]), op.dtype)
+    return jnp.concatenate([dp, m, op, ones, dlen, zeros], axis=0)
+
+
+def pack_rays_mxu(origins, dirs):
+    """(R,3) rays -> ((16, Rp) F feature planes, R) — see ray_features_mxu."""
     op, dp, R = pack_rays(origins, dirs)  # (3, Rp)
-    o, d = op.T, dp.T  # (Rp, 3)
-    m = jnp.cross(o, d)
-    ones = jnp.ones((o.shape[0], 1), o.dtype)
-    dlen2 = jnp.sum(d * d, axis=-1, keepdims=True)
-    dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
-    zeros = jnp.zeros((o.shape[0], _KF - 11), o.dtype)
-    return jnp.concatenate([d, m, o, ones, dlen, zeros], axis=1).T, R
+    return ray_features_mxu(op, dp), R
 
 
 def pack_tri_features(v0, e1, e2):
@@ -420,6 +427,52 @@ def cluster_triangles(vertices, valid):
     tmin = jnp.where(tile_nonempty[:, None], tmin, 0.0)
     tmax = jnp.where(tile_nonempty[:, None], tmax, 0.0)
     return perm, jnp.stack([tmin, tmax], axis=1), tile_nonempty
+
+
+class KernelPack(NamedTuple):
+    """Static per-scene packing for the kernel backends — computed ONCE per
+    render (the analog of the reference's to_cuda-time octree build,
+    gpu/scene.cu:224-352) instead of per collide call: clustering + triangle
+    packing would otherwise re-run inside every lax.map chunk and bounce
+    iteration, where XLA cannot hoist them out of the loop bodies."""
+
+    perm: jax.Array           # (Tp,) clustered slot -> original tri index
+    tile_aabb: jax.Array      # (nT, 2, 3) per-tile AABB (clustered order)
+    tile_nonempty: jax.Array  # (nT,) bool
+    v0: jax.Array             # (Tp, 3) clustered + padded
+    e1: jax.Array             # (Tp, 3)
+    e2: jax.Array             # (Tp, 3)
+
+
+def pack_geometry(vertices, valid) -> KernelPack:
+    """Cluster + pack a triangle soup for the Pallas/MXU kernels."""
+    perm, tile_aabb, tile_nonempty = cluster_triangles(vertices, valid)
+    v0, e1, e2 = pack_triangles(vertices[perm], valid[perm])
+    return KernelPack(perm, tile_aabb, tile_nonempty, v0, e1, e2)
+
+
+def tile_cull_mask_packed(op, dp, tile_aabb, tile_nonempty):
+    """(nT, nR) int32 pair-tile mask from packed (3, Rp) rays.
+
+    Same forward-only slab test as `tile_cull_mask_clustered` but in the
+    kernel's lane-major ray layout: every intermediate is a (3, Rp) or
+    (1, Rp) array (full 128-lane rows), with a static Python loop over the
+    nT boxes — avoids the (R, nT, 3) broadcast layout whose 3-wide trailing
+    dim pads to 128 lanes on TPU.
+    """
+    nT = tile_aabb.shape[0]
+    nr = op.shape[1] // TILE_R
+    dsafe = jnp.where(dp == 0.0, 1e-30, dp)
+    inv = 1.0 / dsafe  # (3, Rp)
+    rows = []
+    for j in range(nT):
+        t1 = (tile_aabb[j, 0][:, None] - op) * inv  # (3, Rp)
+        t2 = (tile_aabb[j, 1][:, None] - op) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=0)  # (Rp,)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
+        hit = (tmax >= tmin) & (tmax >= 0.0) & tile_nonempty[j]
+        rows.append(hit.reshape(nr, TILE_R).any(axis=1))  # (nr,)
+    return jnp.stack(rows).astype(jnp.int32)  # (nT, nr)
 
 
 def tile_cull_mask_clustered(origins, dirs, tile_aabb, tile_nonempty,

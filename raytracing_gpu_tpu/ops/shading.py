@@ -61,7 +61,7 @@ def apply_specular(color, inc_origin, inc_dir, hit_point, normal, ks, ns, cops: 
 
 
 def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
-          scene_axis=None, backend="jnp"):
+          scene_axis=None, backend="jnp", pack=None):
     """apply_light (cpu/light.c:33-99) for a batch of hits.
 
     Returns (R,3) colors in the cops domain. Rays with hit.mask False get
@@ -96,7 +96,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
         so = jnp.tile(hp, (K, 1))
         sd = jnp.concatenate(sdirs, axis=0)
         fd = collide_dist(so, sd, scene.geometry, mt_eps, self_hit_eps,
-                          scene_axis, backend)
+                          scene_axis, backend, pack)
         occluded_all = (fd != 0.0).reshape(K, R)  # has_direct_hit quirk
     else:
         occluded_all = None

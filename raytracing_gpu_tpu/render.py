@@ -55,7 +55,8 @@ def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
 
 
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
-               unroll: bool = False, scene_axis: str | None = None):
+               unroll: bool = False, scene_axis: str | None = None,
+               pack=None):
     """Emulate the recursive trace() for a batch of rays; returns (R,3) colors
     in the ColorOps domain selected by cfg.quantize.
 
@@ -78,10 +79,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
     def step(o, d, coef, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend)
+                      scene_axis, cfg.backend, pack)
         use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
-                      cfg.backend)
+                      cfg.backend, pack)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
@@ -117,7 +118,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
 
 def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
-                   scene_axis: str | None = None):
+                   scene_axis: str | None = None, pack=None):
     """GPU-reference iterative bounce loop for a batch of rays.
 
     `do { tmp = trace(); color += tmp*nr_acc; nr_acc *= hit.nr } while
@@ -134,10 +135,10 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
     alive = jnp.ones((R,), bool)
     for _ in range(cfg.max_bounce + 1):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend)
+                      scene_axis, cfg.backend, pack)
         use = alive & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
-                      cfg.backend)
+                      cfg.backend, pack)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
         n = hit.normal
         refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
@@ -160,11 +161,22 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
     oc = origins.reshape(-1, chunk, 3)
     dc = dirs.reshape(-1, chunk, 3)
+    pack = None
+    if cfg.backend in ("pallas", "mxu"):
+        # per-scene clustering/packing hoisted out of the chunk map and the
+        # bounce loops (the to_cuda-time analog, gpu/scene.cu:224-352)
+        from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+        pack = pk.pack_geometry(
+            jax.lax.stop_gradient(scene.geometry.vertices),
+            scene.geometry.valid,
+        )
     if gpu_semantics:
-        f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis)
+        f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis,
+                                      pack)
     else:
         f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth, unroll,
-                                  scene_axis)
+                                  scene_axis, pack)
     colors = jax.lax.map(f, (oc, dc))
     return colors.reshape(-1, 3)[:R]
 

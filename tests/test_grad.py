@@ -170,3 +170,44 @@ def test_grads_not_nan_anywhere(scene):
         arr = np.asarray(leaf)
         if arr.dtype.kind == "f":
             assert np.isfinite(arr).all()
+
+
+@pytest.mark.parametrize("backend", ["pallas", "mxu"])
+def test_grad_through_kernel_backends(scene, backend):
+    """smooth-mode gradients flow when the nearest-hit sweep runs in the
+    Pallas/MXU kernel: the winner index comes from the (non-differentiable)
+    kernel, but u/v/t/dist are recomputed on the winner with jnp ops, so
+    geometry/material cotangents match the jnp backend's (same arithmetic,
+    same winners away from f32 ties)."""
+    cfg = RenderConfig(mode="cpu", quantize="smooth", ray_chunk=512,
+                       diff_max_depth=2, backend=backend)
+
+    def loss(s):
+        return jnp.mean(render_image(s, cfg))
+
+    from raytracing_gpu_tpu.parallel.train import extract_params, insert_params
+
+    params = extract_params(scene)
+    gk = jax.grad(lambda p: loss(insert_params(scene, p)))(params)
+    for key in ("vertices", "kd", "lights_rgb"):
+        a = np.asarray(gk[key]).ravel()
+        assert np.isfinite(a).all(), key
+        assert np.abs(a).max() > 0.0, key
+    # FD self-consistency of the SAME backend (cross-backend elementwise
+    # equality is tie-sensitive: the kernel breaks f32-equal winners in
+    # clustered order, the jnp path in file order): probe the two largest
+    # lights_rgb gradient coordinates against central differences.
+    g = np.asarray(gk["lights_rgb"]).ravel()
+    x0 = np.asarray(scene.lights.rgb).ravel()
+    shape = np.asarray(scene.lights.rgb).shape
+    eps = 1e-2
+    for i in np.argsort(-np.abs(g))[:2]:
+        xp = x0.copy(); xp[i] += eps
+        xm = x0.copy(); xm[i] -= eps
+        put = lambda x: dataclasses.replace(
+            scene, lights=dataclasses.replace(
+                scene.lights, rgb=jnp.asarray(x.reshape(shape), jnp.float32)))
+        fd = (float(loss(put(xp))) - float(loss(put(xm)))) / (2 * eps)
+        assert abs(g[i] - fd) <= 2e-2 * max(abs(fd), abs(g[i])) + 1e-6, (
+            f"{backend} lights_rgb[{i}]: ad={g[i]:.6g} fd={fd:.6g}"
+        )
