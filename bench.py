@@ -124,17 +124,24 @@ def main():
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
     coords = jnp.asarray(camera_ops.cpu_subpixel_coords(W, H))
 
+    def sync(x):
+        """Force completion with a host read of one element:
+        block_until_ready is unreliable over the axon tunnel (measured
+        returning in <0.1ms while the device was still busy for 20ms+)."""
+        jax.block_until_ready(x)
+        np.asarray(jax.device_get(x.ravel()[0]))
+
     # warmup / compile
     t0 = time.perf_counter()
     img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
-    jax.block_until_ready(img)
+    sync(img)
     log(f"[bench] compile+first render: {time.perf_counter() - t0:.1f}s")
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
-        jax.block_until_ready(img)
+        sync(img)
         times.append(time.perf_counter() - t0)
     best = min(times)
     rps = rays / best

@@ -30,15 +30,25 @@ REF = os.environ.get("RGT_REFERENCE", "/root/reference")
 DEFAULT_SCENES = ["cube", "island_smooth", "dark-night", "spheres"]
 
 
-def timeit(fn, repeats=5, warmup=1):
+def _sync(out):
+    """block_until_ready + a 1-element host read: block_until_ready alone is
+    unreliable over the axon TPU tunnel (returns before the device is idle)."""
     import jax
+    import numpy as np
 
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    if hasattr(leaf, "ravel"):
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def timeit(fn, repeats=5, warmup=1):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 

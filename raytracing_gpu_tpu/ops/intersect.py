@@ -158,7 +158,12 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
         # relative to the local geometry (measured 1e-3 rel err on susan
         # with the camera at distance 4 — vs 1e-6 after centering; for
         # primary rays o-c == 0 exactly, eliminating the m=o×d terms).
-        c = jnp.mean(origins, axis=0)
+        # mean over live rays only: parked/degenerate rays (origin 3e29 —
+        # dead bounces, masked shadow rays) would blow up the centroid and
+        # with it every recentered coordinate
+        live = jnp.all(jnp.abs(origins) < 1e20, axis=-1)
+        n_live = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+        c = jnp.sum(jnp.where(live[:, None], origins, 0.0), axis=0) / n_live
         oc = op - c[:, None]
         mask = pk.tile_cull_mask_packed(oc, dp, pack.tile_aabb - c,
                                         pack.tile_nonempty)

@@ -5,10 +5,13 @@ loops (gpu/hit.cu:8-114: one CUDA thread per ray, serial Möller–Trumbore per
 triangle). Here a (ray-tile x triangle-tile) grid keeps both operands
 resident in VMEM and evaluates all pairs as 2D vector ops on the 8x128 VPU:
 
-  grid = (R/TILE_R, T/TILE_T), j (triangles) innermost
+  grid = (T/TILE_T, R/TILE_R), i (rays) innermost — triangle blocks pad
+  their 3-wide minor dim to 128 VMEM lanes, so they are loaded ONCE each
+  (outer axis) while the compact ray planes stream per cell
   per step: a (TILE_T, TILE_R) Möller–Trumbore pair tile — triangles on the
   sublane axis, rays on the lane axis — reduced over sublanes into the
-  revisited (1, TILE_R) running (min-dist, argmin) output block.
+  revisited (1, TILE_R) running (min-dist, argmin) row of the full
+  (nr, TILE_R) accumulator block.
 
 The strictly-less `<` accumulation preserves the reference's linear-scan
 tie-break (cpu/hit.c:60: first triangle with a strictly smaller distance
@@ -116,9 +119,18 @@ def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
     """dist_ref/idx_ref hold the FULL (nr, TILE_R) result in VMEM (a few
     hundred KB); row i is the running accumulator for ray tile i, updated
     with a dynamic sublane slice. Mosaic requires block dims divisible by
-    (8,128) or whole — (1, TILE_R) per-i blocks are neither."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    (8,128) or whole — (1, TILE_R) per-i blocks are neither.
+
+    Grid order: TRIANGLE tile outer, ray tile inner. Each (TILE_T, 3)
+    triangle block pads its 3-wide minor dim to 128 lanes in VMEM, so
+    re-fetching triangles per cell (rays inner would be per-cell tri DMA)
+    costs nr*Tp*512B — gigabytes per call on a megapixel render. Rays inner
+    makes the small (3, TILE_R) ray planes the streamed operand and loads
+    every triangle block exactly once. Per-ray-tile tie-break order over j
+    is unchanged (ascending), preserving the reference's first-strictly-
+    smaller winner."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -155,17 +167,17 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # tile_mask lives whole in SMEM
-        grid=(nr, nt),
+        grid=(nt, nr),
         in_specs=[
-            pl.BlockSpec((3, TILE_R), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_R), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), lambda j, i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), lambda j, i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
     )
     dist, idx = pl.pallas_call(
@@ -253,8 +265,9 @@ def pack_tri_features(v0, e1, e2):
 
 def _mxu_kernel(tilemask_ref, f_ref, g_ref, dist_ref, idx_ref, *,
                 mt_eps, self_hit_eps):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    # triangle tile outer, ray tile inner — see _nearest_kernel on DMA cost
+    j = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -306,17 +319,17 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nr, nt),
+        grid=(nt, nr),
         in_specs=[
-            pl.BlockSpec((_KF, TILE_R), lambda i, j, *_: (0, i),
+            pl.BlockSpec((_KF, TILE_R), lambda j, i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TILE_T, _KF), lambda i, j, *_: (0, j, 0),
+            pl.BlockSpec((4, TILE_T, _KF), lambda j, i, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )

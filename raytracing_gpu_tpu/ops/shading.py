@@ -93,8 +93,17 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
             sdirs.append(lights.v[li][None, :] - hp)  # cpu/light.c:80
     if sdirs:
         K = len(sdirs)
-        so = jnp.tile(hp, (K, 1))
+        # Missed rays' hit points are garbage; their shadow results are
+        # discarded (caller masks on hit.mask), so park them as degenerate
+        # rays (origin far outside every scene AABB, zero direction): the
+        # kernel backends' forward slab test culls them instead of sweeping
+        # garbage rays against all triangles (~86% of primary rays miss on
+        # a typical mesh scene), and zero direction makes Möller–Trumbore
+        # reject them (a == 0) wherever culling is off.
+        hp_shadow = jnp.where(hit.mask[:, None], hp, 3e29)
+        so = jnp.tile(hp_shadow, (K, 1))
         sd = jnp.concatenate(sdirs, axis=0)
+        sd = jnp.where(jnp.tile(hit.mask, (K,))[:, None], sd, 0.0)
         fd = collide_dist(so, sd, scene.geometry, mt_eps, self_hit_eps,
                           scene_axis, backend, pack)
         occluded_all = (fd != 0.0).reshape(K, R)  # has_direct_hit quirk

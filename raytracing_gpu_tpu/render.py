@@ -87,8 +87,12 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
         refl_dir = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
-        o = jnp.where(use[:, None], hit.point, o)
-        d = jnp.where(use[:, None], refl_dir, d)
+        # dead rays become degenerate (far origin, zero direction): the
+        # kernel backends' tile culling then skips them on later bounces
+        # instead of re-intersecting stale rays; they can never contribute
+        # again (use stays False once coef hits 0)
+        o = jnp.where(use[:, None], hit.point, 3e29)
+        d = jnp.where(use[:, None], refl_dir, 0.0)
         coef = jnp.where(use, scene.materials.nr[hit.obj] * coef, 0.0)
         return o, d, coef, use, color
 
@@ -142,8 +146,8 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
         n = hit.normal
         refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
-        o = jnp.where(use[:, None], hit.point, o)
-        d = jnp.where(use[:, None], refl, d)
+        o = jnp.where(use[:, None], hit.point, 3e29)  # park dead rays
+        d = jnp.where(use[:, None], refl, 0.0)
         nr = jnp.where(use, scene.materials.nr[hit.obj], 0.0)
         nr_acc = nr_acc * nr
         alive = use & (nr_acc > cfg.reflect_cutoff)

@@ -37,13 +37,24 @@ class Timer:
     repeats: int = 5
     times: dict = field(default_factory=dict)
 
+    @staticmethod
+    def _sync(out):
+        """block_until_ready + 1-element host read — block_until_ready alone
+        can return before the device is idle over remote-TPU tunnels."""
+        import numpy as np
+
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+
     def measure(self, name: str, fn, *args, **kwargs) -> float:
         for _ in range(self.warmup):
-            jax.block_until_ready(fn(*args, **kwargs))
+            self._sync(fn(*args, **kwargs))
         best = float("inf")
         for _ in range(self.repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args, **kwargs))
+            self._sync(fn(*args, **kwargs))
             best = min(best, time.perf_counter() - t0)
         self.times[name] = best
         return best
