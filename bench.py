@@ -124,26 +124,37 @@ def main():
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
     coords = jnp.asarray(camera_ops.cpu_subpixel_coords(W, H))
 
-    def sync(x):
-        """Force completion with a host read of one element:
-        block_until_ready is unreliable over the axon tunnel (measured
-        returning in <0.1ms while the device was still busy for 20ms+)."""
+    def hard_sync(x):
+        """Host read of one element — the only sync the axon tunnel cannot
+        fake (block_until_ready was observed returning early for small
+        programs). Costs a tunnel round trip, so it brackets the run rather
+        than sitting inside the timed loop."""
         jax.block_until_ready(x)
         np.asarray(jax.device_get(x.ravel()[0]))
 
     # warmup / compile
     t0 = time.perf_counter()
     img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
-    sync(img)
+    hard_sync(img)
     log(f"[bench] compile+first render: {time.perf_counter() - t0:.1f}s")
 
     times = []
+    t_run0 = time.perf_counter()
     for _ in range(repeats):
         t0 = time.perf_counter()
         img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
-        sync(img)
+        jax.block_until_ready(img)
         times.append(time.perf_counter() - t0)
+    hard_sync(img)
+    t_total = time.perf_counter() - t_run0
     best = min(times)
+    # If block_until_ready returned early (per-rep sum far below the
+    # hard-synced total), fall back to the pipelined average — renders
+    # serialize on the single chip, so total/N is an honest upper bound.
+    if sum(times) < 0.8 * t_total:
+        log(f"[bench] block_until_ready unreliable (sum {sum(times):.3f}s "
+            f"vs walled {t_total:.3f}s) -> using pipelined average")
+        best = t_total / repeats
     rps = rays / best
     log(f"[bench] times: {[round(t, 4) for t in times]} -> {rps:,.0f} rays/s")
 

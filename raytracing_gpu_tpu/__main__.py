@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partitioning", choices=["none", "aabb", "octree"],
                    default="none",
                    help="acceleration structure (PARTITIONING_* analog)")
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
+    p.add_argument("--backend", choices=["jnp", "pallas", "mxu"],
+                   default="jnp",
                    help="intersection implementation: jnp = pure XLA, "
                    "pallas = hand-written TPU kernel")
     p.add_argument("--aliasing", type=int, default=3,

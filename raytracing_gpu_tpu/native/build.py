@@ -41,7 +41,7 @@ def ensure_built() -> str | None:
         cmd = [
             "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
             "-o", SO_PATH,
-        ] + [os.path.join(HERE, s) for s in SOURCES]
+        ] + [os.path.join(HERE, s) for s in SOURCES] + ["-lz"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError) as e:

@@ -55,6 +55,10 @@ def _load():
         lib.rgt_write_ppm.argtypes = [
             ct.c_char_p, ct.POINTER(ct.c_float), ct.c_int64, ct.c_int64,
         ]
+        lib.rgt_write_png.restype = ct.c_int32
+        lib.rgt_write_png.argtypes = [
+            ct.c_char_p, ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_int64,
+        ]
         _lib = lib
     return _lib
 
@@ -143,4 +147,21 @@ def write_ppm_native(path: str, image: np.ndarray) -> bool:
     )
     if rc != 0:
         raise OSError(f"rgt_write_ppm failed for {path}")
+    return True
+
+
+def write_png_native(path: str, image: np.ndarray) -> bool:
+    """Byte-exact twin of utils.image.write_png (same zlib, same level);
+    expects (H,W,4) uint8 RGBA. Returns False when unavailable."""
+    try:
+        lib = _load()
+    except ImportError:
+        return False
+    img = np.ascontiguousarray(np.asarray(image, dtype=np.uint8))
+    h, w = img.shape[:2]
+    rc = lib.rgt_write_png(
+        path.encode(), img.ctypes.data_as(ct.POINTER(ct.c_uint8)), w, h
+    )
+    if rc != 0:
+        raise OSError(f"rgt_write_png failed for {path}")
     return True

@@ -65,6 +65,13 @@ def write_png(path: str, image: np.ndarray) -> None:
     h, w = img.shape[:2]
     if img.shape[2] == 3:
         img = np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    try:  # native fast path (byte-exact twin, tests/test_native.py)
+        from raytracing_gpu_tpu.native import svati as _native
+
+        if _native.write_png_native(path, img):
+            return
+    except ImportError:
+        pass
     raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
 
     def chunk(tag: bytes, payload: bytes) -> bytes:

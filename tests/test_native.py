@@ -103,3 +103,41 @@ def test_native_ppm_writer_byte_exact(tmp_path):
         f.write(f"P3\n{w} {h}\n255\n")
         f.write("".join(f"{r} {g} {b} " for r, g, b in vals.reshape(-1, 3)))
     assert open(p_native, "rb").read() == open(p_python, "rb").read()
+
+
+def test_native_png_byte_identical(tmp_path):
+    """rgt_write_png produces byte-identical files to the Python zlib
+    writer (same library, same level-9 stream, same chunk layout)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raytracing_gpu_tpu.native import svati as native
+    from raytracing_gpu_tpu.utils import image as image_mod
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    rgba = np.concatenate(
+        [img, np.full((33, 47, 1), 255, np.uint8)], axis=2
+    )
+    p_native = tmp_path / "n.png"
+    assert native.write_png_native(str(p_native), rgba)
+
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(33))
+
+    def chunk(tag, payload):
+        out = struct.pack(">I", len(payload)) + tag + payload
+        return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 47, 33, 8, 6, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
+    assert p_native.read_bytes() == png
+    # and the public writer (which routes through the native path) matches
+    image_mod.write_png(str(tmp_path / "pub.png"), img)
+    assert (tmp_path / "pub.png").read_bytes() == png
