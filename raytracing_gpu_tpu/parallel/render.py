@@ -107,8 +107,13 @@ def make_sharded_renderer(mesh, cfg: RenderConfig, depth: int, width: int, heigh
     )
 
 
-def render_scene_sharded(scene_host: Scene, cfg: RenderConfig, mesh) -> np.ndarray:
-    """Multi-chip `render_scene`: same semantics, sharded over `mesh`."""
+def render_scene_sharded(scene_host: Scene, cfg: RenderConfig, mesh,
+                         to_host: bool = True):
+    """Multi-chip `render_scene`: same semantics, sharded over `mesh`.
+
+    to_host=False returns the (possibly non-addressable) global device
+    array instead of a NumPy copy — required on multi-host meshes, where
+    parallel.multihost gathers it across processes instead."""
     width, height = scene_host.camera.width, scene_host.camera.height
     scene = scene_to_device(scene_host)
     if cfg.partitioning != "none":
@@ -131,4 +136,4 @@ def render_scene_sharded(scene_host: Scene, cfg: RenderConfig, mesh) -> np.ndarr
         coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh)).reshape(-1, 2)
     geo, rest = split_scene(scene)
     img = _render_sharded(geo, rest, coords, mesh, cfg, depth, width, height)
-    return np.asarray(img)
+    return np.asarray(img) if to_host else img

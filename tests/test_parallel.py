@@ -138,3 +138,18 @@ def test_vertex_grads_flow_through_scene_sharding(scene):
     dv = np.asarray(jnp.abs(state2.params["vertices"] - state.params["vertices"]).sum())
     assert np.isfinite(float(loss))
     assert dv > 0.0
+
+
+def test_multihost_single_process_path(scene):
+    """multihost wrappers degrade gracefully to single-process: initialize
+    is a no-op, global_mesh covers the local devices, and the render equals
+    the plain sharded render (true multi-host needs a pod; the program is
+    identical by construction)."""
+    from raytracing_gpu_tpu.parallel import multihost
+
+    multihost.initialize()
+    mesh = multihost.global_mesh(tiles=4, scene_shards=2)
+    cfg = RenderConfig(mode="cpu", quantize="match", ray_chunk=512)
+    img = multihost.render_scene_multihost(scene, cfg, mesh)
+    ref = render_scene(scene, cfg)
+    np.testing.assert_array_equal(np.trunc(ref), np.trunc(img))
