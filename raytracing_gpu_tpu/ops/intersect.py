@@ -146,10 +146,12 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
     # Computed once per render and passed in via `pack`; the fallback here
     # serves direct collide() calls.
     if pack is None:
-        geometry = jax.tree.map(jax.lax.stop_gradient, geometry)
-        pack = pk.pack_geometry(geometry.vertices, geometry.valid)
-    else:
-        pack = jax.tree.map(jax.lax.stop_gradient, pack)
+        pack = pk.pack_geometry(geometry.vertices, geometry.valid,
+                                geometry.normals, geometry.tri_obj)
+    kpack = jax.tree.map(
+        lambda x: None if x is None else jax.lax.stop_gradient(x), pack,
+        is_leaf=lambda x: x is None,
+    )
     op, dp, R = pk.pack_rays(origins, dirs)
     if mxu:
         # Recenter on the ray-origin centroid: Möller–Trumbore is
@@ -165,31 +167,47 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
         n_live = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
         c = jnp.sum(jnp.where(live[:, None], origins, 0.0), axis=0) / n_live
         oc = op - c[:, None]
-        mask = pk.tile_cull_mask_packed(oc, dp, pack.tile_aabb - c,
-                                        pack.tile_nonempty)
+        mask = pk.tile_cull_mask_packed(oc, dp, kpack.tile_aabb - c,
+                                        kpack.tile_nonempty)
         rayf = pk.ray_features_mxu(oc, dp)
-        g = pk.pack_tri_features(pack.v0 - c, pack.e1, pack.e2)
+        g = pk.pack_tri_features(kpack.v0 - c, kpack.e1, kpack.e2)
         dist, idx = pk.nearest_hit_mxu(rayf, g, mask,
                                        float(mt_eps), float(self_hit_eps))
     else:
-        mask = pk.tile_cull_mask_packed(op, dp, pack.tile_aabb,
-                                        pack.tile_nonempty)
-        dist, idx = pk.nearest_hit_pallas(op, dp, pack.v0, pack.e1, pack.e2,
-                                          mask, float(mt_eps),
+        mask = pk.tile_cull_mask_packed(op, dp, kpack.tile_aabb,
+                                        kpack.tile_nonempty)
+        dist, idx = pk.nearest_hit_pallas(op, dp, kpack.v0, kpack.e1,
+                                          kpack.e2, mask, float(mt_eps),
                                           float(self_hit_eps))
-    # map clustered winner slots back to original triangle indices
-    win = jnp.take(pack.perm, jnp.clip(idx[:R], 0, pack.perm.shape[0] - 1))
-    return dist[:R], win
+    # idx is in CLUSTERED slot space; the caller fetches winner data from
+    # pack.table (clustered too), so no perm remap (a slow gather) is needed
+    return dist[:R], idx[:R], pack
 
 
-def _winner_uvt(origins, dirs, geometry, win, mt_eps):
+def _onehot_rows(table, idx):
+    """Fetch table[idx] via a one-hot matmul: (R,T)@(T,C).
+
+    XLA's TPU row-gather lowers to a slow serial loop (measured ~0.5µs/row
+    for 1M rows of a 1KB-row table); the one-hot product runs on the MXU in
+    ~ms. Bit-exact: every output element is a single 1.0*x product (0 and 1
+    are exact in every MXU pass type, and x*1 reconstructs x exactly), so
+    this is a true gather, not an approximation.
+    """
+    T = table.shape[0]
+    onehot = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
+        table.dtype
+    )
+    return jax.lax.dot_general(
+        onehot, table, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=table.dtype,
+    )
+
+
+def _winner_uvt_from(origins, dirs, v0, edge1, edge2, mt_eps):
     """Re-run Möller–Trumbore on each ray's winning triangle only (R x 1
     work) to recover (u, v, t) — same arithmetic as _mt_core, so the values
     are bit-identical to what the full pass computed."""
-    tri = geometry.vertices[win]  # (R,3,3)
-    v0 = tri[:, 0]
-    edge1 = tri[:, 1] - v0
-    edge2 = tri[:, 2] - v0
     h = jnp.cross(dirs, edge2)
     a = jnp.sum(edge1 * h, axis=-1)
     f = 1.0 / jnp.where(jnp.abs(a) >= mt_eps, a, 1.0)
@@ -199,6 +217,13 @@ def _winner_uvt(origins, dirs, geometry, win, mt_eps):
     v = f * jnp.sum(dirs * q, axis=-1)
     t = f * jnp.sum(edge2 * q, axis=-1)
     return u, v, t
+
+
+def _winner_uvt(origins, dirs, geometry, win, mt_eps):
+    tri = geometry.vertices[win]  # (R,3,3)
+    v0 = tri[:, 0]
+    return _winner_uvt_from(origins, dirs, v0, tri[:, 1] - v0, tri[:, 2] - v0,
+                            mt_eps)
 
 
 def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
@@ -221,16 +246,24 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     """
     R = origins.shape[0]
     if backend in ("pallas", "mxu"):
-        wdist, win = _pallas_nearest(origins, dirs, geometry, mt_eps,
-                                     self_hit_eps, mxu=backend == "mxu",
-                                     pack=pack)
+        if pack is not None and pack.table is None:
+            pack = None  # caller built a dist-only pack; rebuild with table
+        wdist, idx, pack = _pallas_nearest(origins, dirs, geometry, mt_eps,
+                                           self_hit_eps,
+                                           mxu=backend == "mxu", pack=pack)
         mask = jnp.isfinite(wdist)
-        wu, wv, wt = _winner_uvt(origins, dirs, geometry, win, mt_eps)
-        # Report dist recomputed from the winner's t (same arithmetic as
-        # _mt_core, so bit-identical to the jnp backend) rather than the
-        # kernel's accumulator value: the recomputation is differentiable
-        # w.r.t. geometry, while pallas_call output is not; acceptance
-        # (mask) still comes from the kernel.
+        # One one-hot matmul fetches the winner's v0/e1/e2/normals/obj from
+        # the clustered table (_onehot_rows: XLA's row-gather is a serial
+        # loop on TPU). u/v/t/dist are then recomputed with the same
+        # arithmetic as _mt_core — bit-identical to the jnp backend and
+        # differentiable w.r.t. the table (and through it the geometry),
+        # while the pallas_call itself stays behind its AD barrier;
+        # acceptance (mask) still comes from the kernel.
+        rows = _onehot_rows(pack.table, idx)
+        wv0, we1, we2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        tri_n = rows[:, 9:18].reshape(R, 3, 3)
+        obj = rows[:, 18].astype(jnp.int32)
+        wu, wv, wt = _winner_uvt_from(origins, dirs, wv0, we1, we2, mt_eps)
         dlen2_w = jnp.sum(dirs * dirs, axis=-1)
         wdist = wt * jnp.sqrt(jnp.where(dlen2_w > 0.0, dlen2_w, 1.0))
     else:
@@ -245,7 +278,8 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
         wu = u[rix, win]
         wv = v[rix, win]
         wt = t[rix, win]
-    tri_n = geometry.normals[win]
+        tri_n = geometry.normals[win]
+        obj = geometry.tri_obj[win]
 
     # Hit point: origin + normalize(dir) * (t * |dir|)  (cpu/hit.c:36-38)
     dlen2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
@@ -270,7 +304,7 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     hit = Hit(
         point=point,
         normal=normal,
-        obj=geometry.tri_obj[win],
+        obj=obj,
         dist=jnp.where(mask, wdist, INF),
         mask=mask,
     )
@@ -312,8 +346,9 @@ def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     only via the boolean `!= 0` occlusion test).
     """
     if backend in ("pallas", "mxu"):
-        m, _ = _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
-                               mxu=backend == "mxu", pack=pack)
+        m, _, _ = _pallas_nearest(origins, dirs, geometry, mt_eps,
+                                  self_hit_eps, mxu=backend == "mxu",
+                                  pack=pack)
     else:
         dist, _, _, _, _ = _mt_core(
             origins, dirs, geometry.vertices, geometry.normals, geometry.valid,

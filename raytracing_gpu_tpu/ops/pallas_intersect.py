@@ -455,13 +455,36 @@ class KernelPack(NamedTuple):
     v0: jax.Array             # (Tp, 3) clustered + padded
     e1: jax.Array             # (Tp, 3)
     e2: jax.Array             # (Tp, 3)
+    table: jax.Array | None   # (Tp, 19) winner-fetch table (clustered):
+                              # v0(3) e1(3) e2(3) n0/n1/n2(9) obj(1); fetched
+                              # with ONE one-hot matmul per collide — XLA's
+                              # TPU row-gather is a serial loop, the one-hot
+                              # product is an exact MXU gather. None when
+                              # built without normals/tri_obj.
 
 
-def pack_geometry(vertices, valid) -> KernelPack:
-    """Cluster + pack a triangle soup for the Pallas/MXU kernels."""
+def pack_geometry(vertices, valid, normals=None, tri_obj=None) -> KernelPack:
+    """Cluster + pack a triangle soup for the Pallas/MXU kernels.
+
+    With normals/tri_obj the winner-fetch table is built too (required by
+    collide; collide_dist-only callers may omit them). Differentiable into
+    vertices/normals: the kernel itself only selects, but the winner's
+    geometry values are re-fetched from this pack by collide, so the pack
+    must NOT be built under stop_gradient when gradients are wanted.
+    """
     perm, tile_aabb, tile_nonempty = cluster_triangles(vertices, valid)
     v0, e1, e2 = pack_triangles(vertices[perm], valid[perm])
-    return KernelPack(perm, tile_aabb, tile_nonempty, v0, e1, e2)
+    table = None
+    if normals is not None and tri_obj is not None:
+        Tp = v0.shape[0]
+        n = normals[perm].reshape(normals.shape[0], 9)
+        ob = tri_obj[perm].astype(jnp.float32)[:, None]  # small ints: f32-exact
+        pad = Tp - n.shape[0]
+        if pad:
+            n = jnp.concatenate([n, jnp.zeros((pad, 9), n.dtype)])
+            ob = jnp.concatenate([ob, jnp.zeros((pad, 1), ob.dtype)])
+        table = jnp.concatenate([v0, e1, e2, n, ob], axis=1)  # (Tp, 19)
+    return KernelPack(perm, tile_aabb, tile_nonempty, v0, e1, e2, table)
 
 
 def tile_cull_mask_packed(op, dp, tile_aabb, tile_nonempty):

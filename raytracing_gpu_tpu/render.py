@@ -172,8 +172,8 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
         from raytracing_gpu_tpu.ops import pallas_intersect as pk
 
         pack = pk.pack_geometry(
-            jax.lax.stop_gradient(scene.geometry.vertices),
-            scene.geometry.valid,
+            scene.geometry.vertices, scene.geometry.valid,
+            scene.geometry.normals, scene.geometry.tri_obj,
         )
     if gpu_semantics:
         f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis,
