@@ -114,8 +114,8 @@ def _accum_nearest(i, j, dist, dist_ref, idx_ref):
     )
 
 
-def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
-                    dist_ref, idx_ref, *, mt_eps, self_hit_eps):
+def _nearest_kernel(order_ref, count_ref, o_ref, d_ref, v0_ref, e1_ref,
+                    e2_ref, dist_ref, idx_ref, *, mt_eps, self_hit_eps):
     """dist_ref/idx_ref hold the FULL (nr, TILE_R) result in VMEM (a few
     hundred KB); row i is the running accumulator for ray tile i, updated
     with a dynamic sublane slice. Mosaic requires block dims divisible by
@@ -130,14 +130,15 @@ def _nearest_kernel(tilemask_ref, o_ref, d_ref, v0_ref, e1_ref, e2_ref,
     is unchanged (ascending), preserving the reference's first-strictly-
     smaller winner."""
     j = pl.program_id(0)
-    i = pl.program_id(1)
+    k = pl.program_id(1)
+    i = order_ref[j, k]  # ray tile this cell serves (worklist order)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((k == 0) & (j == 0))
     def _():
         dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
         idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-    @pl.when(tilemask_ref[j, i] > 0)
+    @pl.when(k < count_ref[j])
     def _():
         dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
                         mt_eps, self_hit_eps)  # (TT, TR)
@@ -165,19 +166,22 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     kernel = functools.partial(
         _nearest_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
+    order, count = tile_worklist(tile_mask)
+    ray_ix = lambda j, k, order, count: (0, order[j, k])
+    tri_ix = lambda j, k, order, count: (j, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # tile_mask lives whole in SMEM
+        num_scalar_prefetch=2,  # worklist (order, count) lives in SMEM
         grid=(nt, nr),
         in_specs=[
-            pl.BlockSpec((3, TILE_R), lambda j, i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_R), lambda j, i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), lambda j, i, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
     )
     dist, idx = pl.pallas_call(
@@ -193,7 +197,7 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
             transcendentals=nr * nt * TILE_R,
         ),
         interpret=_interpret(),
-    )(tile_mask, origins_p, dirs_p, v0, e1, e2)
+    )(order, count, origins_p, dirs_p, v0, e1, e2)
     return dist.reshape(R), idx.reshape(R)
 
 
@@ -263,18 +267,20 @@ def pack_tri_features(v0, e1, e2):
     return jnp.stack([ga, gu, gv, gt])  # (4, Tp, 16)
 
 
-def _mxu_kernel(tilemask_ref, f_ref, g_ref, dist_ref, idx_ref, *,
+def _mxu_kernel(order_ref, count_ref, f_ref, g_ref, dist_ref, idx_ref, *,
                 mt_eps, self_hit_eps):
-    # triangle tile outer, ray tile inner — see _nearest_kernel on DMA cost
+    # triangle tile outer, worklist of active ray tiles inner — see
+    # _nearest_kernel and tile_worklist on DMA/skip cost
     j = pl.program_id(0)
-    i = pl.program_id(1)
+    k = pl.program_id(1)
+    i = order_ref[j, k]
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((k == 0) & (j == 0))
     def _():
         dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
         idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-    @pl.when(tilemask_ref[j, i] > 0)
+    @pl.when(k < count_ref[j])
     def _():
         F = f_ref[:, :]  # (16, TR)
 
@@ -317,19 +323,22 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
     kernel = functools.partial(
         _mxu_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
+    order, count = tile_worklist(tile_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt, nr),
         in_specs=[
-            pl.BlockSpec((_KF, TILE_R), lambda j, i, *_: (0, i),
+            pl.BlockSpec((_KF, TILE_R),
+                         lambda j, k, order, count: (0, order[j, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TILE_T, _KF), lambda j, i, *_: (0, j, 0),
+            pl.BlockSpec((4, TILE_T, _KF),
+                         lambda j, k, order, count: (0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0),
+            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda j, i, *_: (0, 0),
+            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -346,7 +355,7 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tile_mask, rayf, g)
+    )(order, count, rayf, g)
     return dist.reshape(R), idx.reshape(R)
 
 
@@ -509,6 +518,29 @@ def tile_cull_mask_packed(op, dp, tile_aabb, tile_nonempty):
         hit = (tmax >= tmin) & (tmax >= 0.0) & tile_nonempty[j]
         rows.append(hit.reshape(nr, TILE_R).any(axis=1))  # (nr,)
     return jnp.stack(rows).astype(jnp.int32)  # (nT, nr)
+
+
+def tile_worklist(tile_mask):
+    """(nT, nR) pair-tile mask -> (order (nT, nR) int32, count (nT,) int32).
+
+    Per triangle tile, the ray-tile indices with ACTIVE tiles first (file
+    order preserved among them — stable sort, so the per-ray-tile triangle
+    sweep order is unchanged) and the tail filled with the last active
+    index. The kernels iterate k over columns: the block index_map reads
+    order[j, k], so skipped cells repeat the previous block index — Mosaic
+    elides the DMA — and cost one scalar compare instead of a streamed ray
+    block. This removes the ~(1-density) wasted grid cells that dominated
+    the masked kernel (86% of cells on a typical mesh scene).
+    """
+    active = tile_mask > 0
+    count = jnp.sum(active.astype(jnp.int32), axis=1)
+    order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(count - 1, 0)[:, None], axis=1
+    )  # (nT, 1) last active (or column 0 when none)
+    k = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
+    order = jnp.where(k < jnp.maximum(count, 1)[:, None], order, last)
+    return order, count
 
 
 def tile_cull_mask_clustered(origins, dirs, tile_aabb, tile_nonempty,
