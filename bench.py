@@ -112,9 +112,9 @@ def main():
     rays = W * H * 4
     log(f"[bench] {scene_name}.svati {W}x{H} on {platform} "
         f"({scene_host.n_triangles} triangles, {rays:,} primary rays, "
-        f"backend={os.environ.get('RGT_BENCH_BACKEND', 'mxu')})")
+        f"backend={os.environ.get('RGT_BENCH_BACKEND', 'pallas')})")
 
-    backend = os.environ.get("RGT_BENCH_BACKEND", "mxu")
+    backend = os.environ.get("RGT_BENCH_BACKEND", "pallas")
     cfg = RenderConfig(
         mode="cpu", quantize="match", backend=backend,
         ray_chunk=int(os.environ.get("RGT_BENCH_CHUNK", "65536")),

@@ -34,10 +34,11 @@ class RenderConfig:
       partitioning: "none" | "aabb" | "octree" — runtime analog of the
         reference's PARTITIONING_* compile-time matrix (gpu/CMakeLists.txt:12-15).
       backend: "jnp" (pure-XLA batched path), "pallas" (hand-written TPU
-        VPU kernel for the intersection hot loop), or "mxu" (Pallas kernel
-        with the Möller–Trumbore determinants reformulated as MXU matmuls —
-        fastest on TPU; winners may flip on geometry edges vs the other
-        backends because the arithmetic association differs).
+        VPU kernel for the intersection hot loop — fastest measured: the
+        accept/argmin epilogue bounds both kernels), or "mxu" (Pallas
+        kernel with the Möller–Trumbore determinants reformulated as MXU
+        matmuls; winners may flip on geometry edges vs the other backends
+        because the arithmetic association differs).
       max_bounce: bounce cap for "gpu" mode (gpu/raytracer.cu:113).
       cpu_max_depth: safety cap on the emulated recursion depth in "cpu" mode
         (the reference recursion terminates via coef < cutoff, which never
