@@ -96,6 +96,28 @@ def describe_octree(tree) -> str:
     return "\n".join(out)
 
 
+def describe_device_memory() -> str:
+    """display_GPU_memory analog (gpu/test.cu:35-42, cudaMemGetInfo):
+    per-device HBM usage from the runtime's memory_stats (best-effort —
+    some backends, e.g. the CPU emulator, report nothing)."""
+    import jax
+
+    lines = []
+    for dev in jax.local_devices():
+        stats = dev.memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if used is None:
+            lines.append(f"{dev}: memory stats unavailable")
+        else:
+            mb = used / 1e6
+            if limit:
+                lines.append(f"{dev}: {mb:.1f} MB in use / {limit / 1e6:.1f} MB")
+            else:
+                lines.append(f"{dev}: {mb:.1f} MB in use")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     import argparse
 
@@ -104,6 +126,8 @@ def main(argv=None):
     ap.add_argument("--aabbs", action="store_true")
     ap.add_argument("--keys", action="store_true")
     ap.add_argument("--octree", action="store_true")
+    ap.add_argument("--memory", action="store_true",
+                    help="device memory usage (display_GPU_memory analog)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -113,6 +137,8 @@ def main(argv=None):
 
     scene = scene_to_device(parse_scene(args.scene))
     print(describe_scene(scene))
+    if args.memory:
+        print(describe_device_memory())
     if args.aabbs or args.keys or args.octree:
         import jax
 
