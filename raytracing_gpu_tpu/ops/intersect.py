@@ -34,7 +34,10 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+# plain float, NOT jnp.float32(...): a module-level jnp scalar would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize ordering in multi-process programs
+INF = float("inf")
 
 
 @dataclasses.dataclass

@@ -20,6 +20,8 @@ Usage (same script launched on every host of the slice):
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 import jax
@@ -39,18 +41,44 @@ def initialize(coordinator_address: str | None = None,
     process (the common local case): on TPU pods the arguments are
     auto-detected from the environment, so calling with no arguments on
     every host is correct.
+
+    Ordering: `jax.distributed.initialize` MUST run before anything that
+    initializes the local backend (jax.devices/process_count/...), so this
+    probes the coordination client directly instead of calling a backend-
+    touching API first.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if _distributed_client_active():
+        return  # process group already formed
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized: run with local devices
-        pass
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return
+        if coordinator_address is not None or num_processes not in (None, 1):
+            raise  # an explicit multi-process request must not degrade
+        # No coordinator configured anywhere -> genuine single-process run.
+        warnings.warn(
+            f"multihost.initialize: no process group formed ({e}); "
+            "continuing single-process with local devices only"
+        )
+
+
+def _distributed_client_active() -> bool:
+    """True iff jax.distributed.initialize already ran in this process.
+
+    Reads jax's distributed global state (no public API exists); never
+    touches a backend-initializing call.
+    """
+    try:
+        from jax._src import distributed as _distributed
+
+        return _distributed.global_state.client is not None
+    except Exception:
+        return False
 
 
 def global_mesh(tiles: int = -1, scene_shards: int = 1):
