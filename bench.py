@@ -122,7 +122,6 @@ def main():
     scene = scene_to_device(scene_host)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
-    coords = jnp.asarray(camera_ops.cpu_subpixel_coords(W, H))
 
     def hard_sync(x):
         """Host read of one element — the only sync the axon tunnel cannot
@@ -132,31 +131,43 @@ def main():
         jax.block_until_ready(x)
         np.asarray(jax.device_get(x.ravel()[0]))
 
-    # warmup / compile
+    # warmup / compile: AOT (.lower().compile()) runs the terminal-side
+    # compiler (~13s) and fills the persistent cache; dispatching directly
+    # would trigger the execute-path compile through the tunnel instead
+    # (250-580s observed). See utils/compile_cache.py.
     t0 = time.perf_counter()
-    img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
+    _render_cpu_mode.lower(scene, cfg, depth, W, H).compile()
+    t1 = time.perf_counter()
+    log(f"[bench] AOT compile (or cache hit): {t1 - t0:.1f}s")
+    img = _render_cpu_mode(scene, cfg, depth, W, H)
     hard_sync(img)
     log(f"[bench] compile+first render: {time.perf_counter() - t0:.1f}s")
 
-    times = []
-    t_run0 = time.perf_counter()
-    for _ in range(repeats):
+    # single-frame latency (includes one host->device dispatch round trip —
+    # ~35ms of axon-tunnel overhead on this host, reported for transparency)
+    lat = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        img = _render_cpu_mode(scene, coords, cfg, depth, W, H)
-        jax.block_until_ready(img)
-        times.append(time.perf_counter() - t0)
+        img = _render_cpu_mode(scene, cfg, depth, W, H)
+        hard_sync(img)
+        lat.append(time.perf_counter() - t0)
+    log(f"[bench] single-frame latency (incl. 1 sync RTT): "
+        f"{[round(t, 4) for t in lat]}")
+
+    # sustained throughput: N back-to-back renders, one hard sync at the
+    # end. Renders serialize on the single chip, so total/N is the true
+    # per-frame device cost; dispatch latency overlaps (as it would in any
+    # real rendering/training loop) instead of being double-counted per
+    # frame. This is the primary metric.
+    n = max(repeats, 30)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img = _render_cpu_mode(scene, cfg, depth, W, H)
     hard_sync(img)
-    t_total = time.perf_counter() - t_run0
-    best = min(times)
-    # If block_until_ready returned early (per-rep sum far below the
-    # hard-synced total), fall back to the pipelined average — renders
-    # serialize on the single chip, so total/N is an honest upper bound.
-    if sum(times) < 0.8 * t_total:
-        log(f"[bench] block_until_ready unreliable (sum {sum(times):.3f}s "
-            f"vs walled {t_total:.3f}s) -> using pipelined average")
-        best = t_total / repeats
-    rps = rays / best
-    log(f"[bench] times: {[round(t, 4) for t in times]} -> {rps:,.0f} rays/s")
+    t_total = time.perf_counter() - t0
+    rps = rays * n / t_total
+    log(f"[bench] sustained: {n} frames in {t_total:.3f}s -> "
+        f"{t_total / n * 1e3:.2f} ms/frame, {rps:,.0f} rays/s")
 
     base = oracle_rays_per_sec(scene_name)
     vs = rps / base if base else 0.0

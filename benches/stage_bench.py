@@ -146,15 +146,51 @@ def bench_scene(name: str, repeats: int):
         pairs / rows[f"collide_pallas_{R // 1000}k"] / 1e9
     )
 
-    # --- end-to-end render at 64x64 (the number bench.cu never measured)
+    # --- end-to-end renders (numbers bench.cu never measured)
     import re as _re
 
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     small = _re.sub(r"camera \d+ \d+", "camera 64 64", src, count=1)
     sh = parse_scene_text(small)
-    rows["render_64px_e2e"] = timeit(
-        lambda: render_scene(sh, RenderConfig(mode="cpu", quantize="match")),
+    rows["render_cpu_mode_64px"] = timeit(
+        lambda: render_scene(sh, RenderConfig(mode="cpu", quantize="match",
+                                              backend=backend)),
         max(2, repeats // 2),
     )
+    # gpu-mode: aliasing=3 -> one ray per hi-res pixel, 9x the rays, box
+    # downscale + bounce cap (gpu/rt.cpp:67-96)
+    rows["render_gpu_mode_64px_a3"] = timeit(
+        lambda: render_scene(sh, RenderConfig(mode="gpu", quantize="match",
+                                              backend=backend)),
+        max(2, repeats // 2),
+    )
+
+    # --- train step: forward + backward + psum'd grads + adam on the mesh
+    from raytracing_gpu_tpu.parallel import (
+        extract_params,
+        make_mesh,
+        make_train_step,
+    )
+    from raytracing_gpu_tpu.parallel.render import split_scene
+
+    W = 32
+    small32 = _re.sub(r"camera \d+ \d+", f"camera {W} {W}", src, count=1)
+    sh32 = scene_to_device(parse_scene_text(small32))
+    tcfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
+                        ray_chunk=4096, diff_max_depth=2)
+    mesh = make_mesh(min(len(jax.devices()), 4), 1)
+    init_state, step_fn = make_train_step(mesh, tcfg, sh32)
+    state = init_state(extract_params(sh32))
+    geo32, rest32 = split_scene(sh32)
+    coords = jnp.asarray(camera_ops.cpu_subpixel_coords(W, W).reshape(-1, 2))
+    target = jnp.zeros((W * W, 3), jnp.float32)
+
+    def train_once(state=state):
+        s2, loss = step_fn(state, geo32, rest32, coords, target, W * W)
+        return loss
+
+    rows[f"train_step_{W}px_fwd_bwd"] = timeit(train_once,
+                                               max(2, repeats // 2))
     return rows
 
 
@@ -169,6 +205,10 @@ def main():
 
     import jax
 
+    from raytracing_gpu_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(ROOT, "tests", "_oracle_cache",
+                                         "jax_cache"))
     print(f"platform: {jax.devices()[0].platform}", file=sys.stderr)
     results = {}
     ctx = jax.profiler.trace(args.profile) if args.profile else None

@@ -14,8 +14,31 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+
+def _enable_cache_default() -> None:
+    """Persistent compile cache on by default (RGT_NO_COMPILE_CACHE=1 to
+    disable): first compile of a (scene-shape, config) pair costs minutes on
+    the TPU tunnel without it, ~13s AOT + instant reuse with it."""
+    if os.environ.get("RGT_NO_COMPILE_CACHE"):
+        return
+    from raytracing_gpu_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
+def _on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (decides the default
+    intersection backend without initializing JAX twice)."""
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -34,12 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="match = clamp at every color op like cpu/colors.c; "
                    "smooth = linear f32, clamp once (differentiable)")
     p.add_argument("--partitioning", choices=["none", "aabb", "octree"],
-                   default="none",
-                   help="acceleration structure (PARTITIONING_* analog)")
+                   default="octree",
+                   help="acceleration structure (PARTITIONING_* analog; the "
+                   "reference defaults to OCTREE, gpu/CMakeLists.txt:15)")
     p.add_argument("--backend", choices=["jnp", "pallas", "mxu"],
-                   default="jnp",
+                   default="pallas" if _on_tpu() else "jnp",
                    help="intersection implementation: jnp = pure XLA, "
-                   "pallas = hand-written TPU kernel")
+                   "pallas = hand-written TPU kernel (default on TPU), "
+                   "mxu = Pallas matmul formulation")
     p.add_argument("--aliasing", type=int, default=3,
                    help="gpu-mode supersampling factor (gpu/rt.cpp:67)")
     p.add_argument("--max-bounce", type=int, default=10,
@@ -58,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_cache_default()
 
     import numpy as np
 

@@ -32,7 +32,13 @@ class RenderConfig:
         "smooth" computes shading in linear f32 and clamps once at the end
         (differentiable; allclose to the oracle away from clamp boundaries).
       partitioning: "none" | "aabb" | "octree" — runtime analog of the
-        reference's PARTITIONING_* compile-time matrix (gpu/CMakeLists.txt:12-15).
+        reference's PARTITIONING_* compile-time matrix (gpu/CMakeLists.txt:12-15),
+        defaulting to octree exactly like the reference build (line 15). On
+        the jnp backend this selects object-level AABB / octree-node-box
+        pre-culling; on the kernel backends it selects the pair-tile mask
+        structure (none = brute force, aabb = flat leaf-tile slab tests,
+        octree = coarse-to-fine morton-tile hierarchy). Culling is
+        conservative in every mode: renders are bit-identical across modes.
       backend: "jnp" (pure-XLA batched path), "pallas" (hand-written TPU
         VPU kernel for the intersection hot loop — fastest measured: the
         accept/argmin epilogue bounds both kernels), or "mxu" (Pallas
@@ -59,7 +65,7 @@ class RenderConfig:
 
     mode: str = "cpu"
     quantize: str = "match"
-    partitioning: str = "none"
+    partitioning: str = "octree"
     backend: str = "jnp"
     max_bounce: int = 10
     cpu_max_depth: int = 64

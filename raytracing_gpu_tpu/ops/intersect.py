@@ -49,11 +49,14 @@ class Hit:
     obj: Any  # (R,) int32 owning object index
     dist: Any  # (R,) distance |point - origin| (inf when ~mask)
     mask: Any  # (R,) bool — True if the ray hit anything
+    mat: Any = None  # optional (R,11) [ka kd ks ns nr] of the winning
+    # object, fetched with the winner row on kernel backends (one in-VMEM
+    # one-hot matmul replaces four per-ray material gathers in shading)
 
 
 jax.tree_util.register_pytree_node(
     Hit,
-    lambda h: ((h.point, h.normal, h.obj, h.dist, h.mask), None),
+    lambda h: ((h.point, h.normal, h.obj, h.dist, h.mask, h.mat), None),
     lambda _, c: Hit(*c),
 )
 
@@ -125,11 +128,18 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
 
 
 def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
-                    mxu: bool = False, pack=None):
+                    mxu: bool = False, pack=None, want_idx: bool = True,
+                    partitioning: str = "octree"):
     """(wdist, win) via the Pallas pair-tile kernel (+tile-level culling).
 
     mxu=True uses the matmul formulation (pallas_intersect.nearest_hit_mxu):
     Möller–Trumbore determinants as (TILE_T,16)@(16,TILE_R) MXU matmuls.
+    want_idx=False runs the dist-only kernels (cheaper epilogue — the
+    shadow/collide_dist path never consumes the winner index).
+    partitioning selects the kernel-side culling structure (the runtime
+    analog of the reference's PARTITIONING_* matrix on the GPU hot path):
+    "none" = brute force, "aabb" = flat leaf-tile AABB tests, "octree" =
+    coarse-to-fine morton-tile hierarchy (tile_cull_mask_hierarchical).
 
     AD barrier: the kernel only SELECTS (winner index + hit mask), both
     piecewise-constant in the inputs, so all inputs are stop_gradient'd
@@ -142,12 +152,10 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
 
-    # Spatial clustering: reorder triangles so each kernel tile is compact,
-    # then cull (ray-tile, tri-tile) pairs against per-tile AABBs — far
-    # tighter than object-granularity culling, and active even with
-    # partitioning="none" (it is kernel tiling, not a semantic change).
-    # Computed once per render and passed in via `pack`; the fallback here
-    # serves direct collide() calls.
+    # Spatial clustering: reorder triangles so each kernel tile is compact
+    # and morton-ordered (the octree cell order the culling hierarchy is
+    # built on). Computed once per render and passed in via `pack`; the
+    # fallback here serves direct collide() calls.
     if pack is None:
         pack = pk.pack_geometry(geometry.vertices, geometry.valid,
                                 geometry.normals, geometry.tri_obj)
@@ -170,41 +178,36 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
         n_live = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
         c = jnp.sum(jnp.where(live[:, None], origins, 0.0), axis=0) / n_live
         oc = op - c[:, None]
-        mask = pk.tile_cull_mask_packed(oc, dp, kpack.tile_aabb - c,
-                                        kpack.tile_nonempty)
+        mask = pk.tile_cull_mask_hierarchical(
+            oc, dp, kpack._replace(tile_aabb=kpack.tile_aabb - c),
+            partitioning)
         rayf = pk.ray_features_mxu(oc, dp)
         g = pk.pack_tri_features(kpack.v0 - c, kpack.e1, kpack.e2)
-        dist, idx = pk.nearest_hit_mxu(rayf, g, mask,
-                                       float(mt_eps), float(self_hit_eps))
+        if want_idx:
+            dist, idx = pk.nearest_hit_mxu(rayf, g, mask,
+                                           float(mt_eps),
+                                           float(self_hit_eps))
+        else:
+            dist = pk.nearest_dist_mxu(rayf, g, mask, float(mt_eps),
+                                       float(self_hit_eps))
+            idx = None
     else:
-        mask = pk.tile_cull_mask_packed(op, dp, kpack.tile_aabb,
-                                        kpack.tile_nonempty)
-        dist, idx = pk.nearest_hit_pallas(op, dp, kpack.v0, kpack.e1,
+        mask = pk.tile_cull_mask_hierarchical(op, dp, kpack, partitioning)
+        if want_idx:
+            dist, idx = pk.nearest_hit_pallas(op, dp, kpack.v0, kpack.e1,
+                                              kpack.e2, mask, float(mt_eps),
+                                              float(self_hit_eps))
+        else:
+            dist = pk.nearest_dist_pallas(op, dp, kpack.v0, kpack.e1,
                                           kpack.e2, mask, float(mt_eps),
                                           float(self_hit_eps))
-    # idx is in CLUSTERED slot space; the caller fetches winner data from
-    # pack.table (clustered too), so no perm remap (a slow gather) is needed
-    return dist[:R], idx[:R], pack
-
-
-def _onehot_rows(table, idx):
-    """Fetch table[idx] via a one-hot matmul: (R,T)@(T,C).
-
-    XLA's TPU row-gather lowers to a slow serial loop (measured ~0.5µs/row
-    for 1M rows of a 1KB-row table); the one-hot product runs on the MXU in
-    ~ms. Bit-exact: every output element is a single 1.0*x product (0 and 1
-    are exact in every MXU pass type, and x*1 reconstructs x exactly), so
-    this is a true gather, not an approximation.
-    """
-    T = table.shape[0]
-    onehot = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
-        table.dtype
-    )
-    return jax.lax.dot_general(
-        onehot, table, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=table.dtype,
-    )
+            idx = None
+    # idx is in CLUSTERED slot space (PADDED ray length, as (nr, TILE_R) for
+    # the fetch kernel); the caller fetches winner data from pack.table
+    # (clustered too), so no perm remap (a slow gather) is needed
+    if idx is not None:
+        idx = idx.reshape(-1, pk.TILE_R)
+    return dist[:R], idx, pack
 
 
 def _winner_uvt_from(origins, dirs, v0, edge1, edge2, mt_eps):
@@ -231,7 +234,7 @@ def _winner_uvt(origins, dirs, geometry, win, mt_eps):
 
 def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
             scene_axis: str | None = None, backend: str = "jnp",
-            pack=None) -> Hit:
+            pack=None, partitioning: str = "octree") -> Hit:
     """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
 
     Differentiable: the winner index is discrete (piecewise-constant) but the
@@ -248,24 +251,43 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     back to the owning shard automatically.
     """
     R = origins.shape[0]
+    mat = None
     if backend in ("pallas", "mxu"):
         if pack is not None and pack.table is None:
             pack = None  # caller built a dist-only pack; rebuild with table
         wdist, idx, pack = _pallas_nearest(origins, dirs, geometry, mt_eps,
                                            self_hit_eps,
-                                           mxu=backend == "mxu", pack=pack)
+                                           mxu=backend == "mxu", pack=pack,
+                                           partitioning=partitioning)
         mask = jnp.isfinite(wdist)
-        # One one-hot matmul fetches the winner's v0/e1/e2/normals/obj from
-        # the clustered table (_onehot_rows: XLA's row-gather is a serial
-        # loop on TPU). u/v/t/dist are then recomputed with the same
-        # arithmetic as _mt_core — bit-identical to the jnp backend and
-        # differentiable w.r.t. the table (and through it the geometry),
-        # while the pallas_call itself stays behind its AD barrier;
-        # acceptance (mask) still comes from the kernel.
-        rows = _onehot_rows(pack.table, idx)
-        wv0, we1, we2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
-        tri_n = rows[:, 9:18].reshape(R, 3, 3)
-        obj = rows[:, 18].astype(jnp.int32)
+        # The fetch kernel pulls the winner's v0/e1/e2/normals/obj (and, on
+        # 32-wide tables, the owning object's materials) from the clustered
+        # table with in-VMEM one-hot matmuls (XLA's row-gather is a serial
+        # loop on TPU; its one-hot workaround materializes (R,Tp) in HBM).
+        # u/v/t/dist are then recomputed with the same arithmetic as
+        # _mt_core — bit-identical to the jnp backend and differentiable
+        # w.r.t. the table (custom-VJP scatter-add) and through it the
+        # geometry/materials, while the sweep kernel itself stays behind
+        # its AD barrier; acceptance (mask) still comes from the kernel.
+        from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+        rows = pk.fetch_winner_rows(pack.table, idx)[:R]
+        wv0 = rows[:, pk.COL_V0]
+        we1 = rows[:, pk.COL_E1]
+        we2 = rows[:, pk.COL_E2]
+        tri_n = rows[:, pk.COL_N].reshape(R, 3, 3)
+        obj = rows[:, pk.COL_OBJ].astype(jnp.int32)
+        if rows.shape[1] == pk.TABLE_WIDTH_MAT and scene_axis is None:
+            # Under scene sharding, materials must NOT ride the per-shard
+            # winner row: material params are REPLICATED across the scene
+            # axis, so their gradients must come from replicated
+            # (post-combine) compute — each shard's fetch would yield a
+            # PARTIAL grad that out_specs P() cannot sum. Dropping mat here
+            # makes shading fall back to material_rows(mats, combined obj),
+            # which is bit-identical and gradient-correct. (Vertex/normal
+            # grads may stay per-shard: those params ARE sharded, and the
+            # combine's transpose routes cotangents to the owning shard.)
+            mat = rows[:, pk.COL_MAT]
         wu, wv, wt = _winner_uvt_from(origins, dirs, wv0, we1, we2, mt_eps)
         dlen2_w = jnp.sum(dirs * dirs, axis=-1)
         wdist = wt * jnp.sqrt(jnp.where(dlen2_w > 0.0, dlen2_w, 1.0))
@@ -310,6 +332,7 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
         obj=obj,
         dist=jnp.where(mask, wdist, INF),
         mask=mask,
+        mat=mat,
     )
     if scene_axis is not None:
         hit = _combine_shard_hits(hit, scene_axis)
@@ -335,12 +358,13 @@ def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
         obj=take(g.obj[..., None])[..., 0],
         dist=take(g.dist[..., None])[..., 0],
         mask=take(g.mask[..., None])[..., 0],
+        mat=None if hit.mat is None else take(g.mat),
     )
 
 
 def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
                  scene_axis: str | None = None, backend: str = "jnp",
-                 pack=None):
+                 pack=None, partitioning: str = "octree"):
     """Nearest-hit distance, 0.0 on miss — `collide_dist` (cpu/hit.c:93-109).
 
     Used for shadow rays; cheaper than `collide` (no winner gather). Under
@@ -351,7 +375,8 @@ def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     if backend in ("pallas", "mxu"):
         m, _, _ = _pallas_nearest(origins, dirs, geometry, mt_eps,
                                   self_hit_eps, mxu=backend == "mxu",
-                                  pack=pack)
+                                  pack=pack, want_idx=False,
+                                  partitioning=partitioning)
     else:
         dist, _, _, _, _ = _mt_core(
             origins, dirs, geometry.vertices, geometry.normals, geometry.valid,

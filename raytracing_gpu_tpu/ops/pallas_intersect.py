@@ -25,12 +25,18 @@ run over sublanes. `lax.select` is used instead of `jnp.where` in-kernel
 (jnp.where lowers through a nested jit that Mosaic rejects).
 
 The winner's hit point/normal are reconstructed outside the kernel by
-re-running single-triangle Möller–Trumbore on the gathered winner (R x 1
-work) — keeping the kernel to two small outputs.
+re-running single-triangle Möller–Trumbore on the fetched winner (R x 1
+work) — keeping the sweep kernel to two small outputs; the fetch itself is
+another Pallas kernel (in-VMEM one-hot matmuls over a tight winner-tile
+worklist, custom-VJP scatter adjoint).
 
-Tile-level AABB culling (PARTITIONING_{AABB,OCTREE} analog): a precomputed
-(nT, nR) mask gates each pair tile with `pl.when`, skipping the entire MT
-evaluation for tiles no ray can hit.
+Tile-level culling (the runtime PARTITIONING_{NONE,AABB,OCTREE} matrix,
+gpu/CMakeLists.txt:12-15): tile_cull_mask_hierarchical builds a (nT, nR)
+pair-tile mask (brute force / flat exact slab tests / coarse-to-fine
+morton-tile hierarchy) which tile_worklist turns into scalar-prefetched
+per-triangle-tile worklists — the kernels execute ONLY surviving pairs, so
+collide cost tracks visible geometry instead of total triangle count (the
+gpu/hit.cu:120-169 octree-DFS scaling story, recast data-parallel).
 """
 
 from __future__ import annotations
@@ -201,6 +207,179 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     return dist.reshape(R), idx.reshape(R)
 
 
+def _accum_min(i, dist, dist_ref):
+    """Fold a pair-tile distance block into the running min row for ray tile
+    i — the dist-only epilogue (no argmin bookkeeping). Shadow rays consume
+    only `dist != 0` (the has_direct_hit quirk, cpu/light.c:24-31) and
+    collide_dist returns just the distance (cpu/hit.c:93-109), so the winner
+    index is never needed on that path."""
+    tmin = jnp.min(dist, axis=0, keepdims=True)
+    dist_ref[pl.ds(i, 1), :] = jnp.minimum(tmin, dist_ref[pl.ds(i, 1), :])
+
+
+def _dist_kernel(order_ref, count_ref, o_ref, d_ref, v0_ref, e1_ref,
+                 e2_ref, dist_ref, *, mt_eps, self_hit_eps):
+    """`_nearest_kernel` without the argmin/idx output — see _accum_min."""
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+    i = order_ref[j, k]
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
+
+    @pl.when(k < count_ref[j])
+    def _():
+        dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
+                        mt_eps, self_hit_eps)
+        _accum_min(i, dist, dist_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
+def nearest_dist_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
+                        mt_eps: float, self_hit_eps: float):
+    """Min distance only (no winner index) — the collide_dist hot path."""
+    R = origins_p.shape[1]
+    T = v0.shape[0]
+    nr, nt = R // TILE_R, T // TILE_T
+    kernel = functools.partial(
+        _dist_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
+    )
+    order, count = tile_worklist(tile_mask)
+    ray_ix = lambda j, k, order, count: (0, order[j, k])
+    tri_ix = lambda j, k, order, count: (j, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, nr),
+        in_specs=[
+            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dist = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nr) * int(nt) * TILE_R * TILE_T * 60,
+            bytes_accessed=(nr * 6 * TILE_R + nt * 9 * TILE_T) * 4,
+            transcendentals=nr * nt * TILE_R,
+        ),
+        interpret=_interpret(),
+    )(order, count, origins_p, dirs_p, v0, e1, e2)
+    return dist.reshape(R)
+
+
+# ---------------------------------------------------------------------------
+# Winner-row fetch kernel
+#
+# After the sweep, each ray holds a winner slot index into the clustered
+# table. XLA's TPU row-gather is a serial loop (~0.5µs/row) and the XLA
+# one-hot matmul workaround materializes an (R, Tp) f32 one-hot in HBM
+# (measured 3.8 ms/frame on susan, and O(R*Tp) memory — 26 GB at 100k
+# triangles). This kernel keeps the one-hot entirely in VMEM: per ray tile,
+# sweep ONLY the triangle tiles that actually contain winners (a tight
+# worklist computed from the winner tile ids), building a (TILE_T, TILE_R)
+# one-hot block and accumulating table_t @ onehot on the MXU. Exact: every
+# output element is a single 1.0*x product.
+# ---------------------------------------------------------------------------
+
+
+def _fetch_kernel(order_ref, count_ref, idx_ref, tab_ref, out_ref):
+    i = pl.program_id(0)  # ray tile
+    k = pl.program_id(1)  # position in ray tile i's winner-tile worklist
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    @pl.when(k < count_ref[i])
+    def _():
+        j = order_ref[i, k]
+        rows = lax.broadcasted_iota(jnp.int32, (TILE_T, TILE_R), 0) \
+            + j * TILE_T
+        onehot = (rows == idx_ref[0]).astype(jnp.float32)  # (TT, TR)
+        contrib = lax.dot_general(
+            tab_ref[:, :], onehot, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (C, TR)
+        out_ref[0, :, :] = out_ref[0, :, :] + contrib
+
+
+def _fetch_rows_impl(table, idx2d):
+    """(R, C) winner rows from a (Tp, C) table and (nr, TILE_R) slot ids."""
+    nr = idx2d.shape[0]
+    Tp, C = table.shape
+    nt = Tp // TILE_T
+    # tight worklist: only tiles that contain some ray's winner (each ray
+    # has exactly one winner tile, so count is typically 1-3 per ray tile)
+    win_tile = idx2d // TILE_T  # (nr, TILE_R)
+    present = jnp.any(
+        win_tile[:, :, None] == jnp.arange(nt, dtype=idx2d.dtype), axis=1
+    )  # (nr, nt)
+    order, count = tile_worklist(present.astype(jnp.int32))
+    tab_t = table.T  # (C, Tp) — lane-major blocks for the kernel
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr, nt),
+        in_specs=[
+            # (nr, 1, TILE_R): Mosaic requires the last TWO block dims to be
+            # tile-divisible or whole — a (1, TILE_R) block of (nr, TILE_R)
+            # is neither when nr > 1, so the ray-tile axis is hoisted out
+            pl.BlockSpec((1, 1, TILE_R), lambda i, k, order, count: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TILE_T),
+                         lambda i, k, order, count: (0, order[i, k]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, TILE_R), lambda i, k, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _fetch_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, C, TILE_R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nr) * 2 * C * TILE_T * TILE_R,
+            bytes_accessed=(nr * TILE_R * (C + 1) + C * Tp) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(order, count, idx2d[:, None, :], tab_t)
+    return out.transpose(0, 2, 1).reshape(nr * TILE_R, C)
+
+
+@jax.custom_vjp
+def fetch_winner_rows(table, idx2d):
+    """Differentiable winner-row fetch: rows = table[idx] via the VMEM
+    one-hot kernel, with a custom VJP routing the row cotangents back to the
+    table by scatter-add (the exact adjoint of a gather). idx2d is the
+    (nr, TILE_R) winner-slot array straight from the sweep kernels."""
+    return _fetch_rows_impl(table, idx2d)
+
+
+def _fetch_fwd(table, idx2d):
+    return _fetch_rows_impl(table, idx2d), (idx2d, table.shape)
+
+
+def _fetch_bwd(res, g):  # g: (nr*TILE_R, C)
+    idx2d, shape = res
+    d_table = jnp.zeros(shape, g.dtype).at[idx2d.reshape(-1)].add(g)
+    import numpy as np
+
+    return d_table, np.zeros(idx2d.shape, jax.dtypes.float0)
+
+
+fetch_winner_rows.defvjp(_fetch_fwd, _fetch_bwd)
+
+
 # ---------------------------------------------------------------------------
 # MXU (matmul) formulation
 #
@@ -249,7 +428,13 @@ def pack_rays_mxu(origins, dirs):
 
 
 def pack_tri_features(v0, e1, e2):
-    """Padded (Tp,3) v0/e1/e2 -> (4, Tp, 16) G blocks [a; u_num; v_num; t_num].
+    """Padded (Tp,3) v0/e1/e2 -> (4, 16, Tp) G planes [a; u_num; v_num; t_num].
+
+    Lane-major (feature rows on sublanes, triangles on lanes): a
+    (16, TILE_T) block needs no lane padding, where the transposed
+    (TILE_T, 16) layout padded its 16-wide minor dim to 128 VMEM lanes —
+    8x the DMA bytes per triangle block. The kernel contracts dim 0 of both
+    operands (a TN matmul, native on the MXU).
 
     Degenerate padding rows (e1=e2=0) give n=0 -> a=0, rejected in-kernel by
     the |a| >= eps determinant test exactly like the VPU kernel.
@@ -264,7 +449,37 @@ def pack_tri_features(v0, e1, e2):
     gt = jnp.concatenate(
         [z3, z3, n, -jnp.sum(v0 * n, axis=1, keepdims=True), zp], axis=1
     )
-    return jnp.stack([ga, gu, gv, gt])  # (4, Tp, 16)
+    return jnp.stack([ga, gu, gv, gt]).transpose(0, 2, 1)  # (4, 16, Tp)
+
+
+def _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps):
+    """Möller–Trumbore pair tile via four MXU matmuls -> dist, inf on
+    reject. Same acceptance tests as _mt_tile."""
+    F = f_ref[:, :]  # (16, TR)
+
+    def dot(g):  # (16,TT)^T @ (16,TR) on the MXU (TN form), f32-accurate
+        return lax.dot_general(
+            g, F, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    a = dot(g_ref[0])  # (TT, TR)
+    un = dot(g_ref[1])
+    vn = dot(g_ref[2])
+    tn = dot(g_ref[3])
+
+    ok = jnp.abs(a) >= mt_eps
+    f = 1.0 / _sel(ok, a, jnp.ones_like(a))
+    u = un * f
+    ok &= (u >= 0.0) & (u <= 1.0)
+    v = vn * f
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = tn * f
+    ok &= t > mt_eps
+    dist = t * f_ref[10:11, :]  # |d| row -> dist = t * |d|
+    ok &= dist > self_hit_eps
+    return _sel(ok, dist, jnp.full_like(dist, _INF))
 
 
 def _mxu_kernel(order_ref, count_ref, f_ref, g_ref, dist_ref, idx_ref, *,
@@ -282,32 +497,24 @@ def _mxu_kernel(order_ref, count_ref, f_ref, g_ref, dist_ref, idx_ref, *,
 
     @pl.when(k < count_ref[j])
     def _():
-        F = f_ref[:, :]  # (16, TR)
-
-        def dot(g):  # (TT,16)@(16,TR) on the MXU, f32-accurate
-            return lax.dot_general(
-                g, F, (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
-        a = dot(g_ref[0])  # (TT, TR)
-        un = dot(g_ref[1])
-        vn = dot(g_ref[2])
-        tn = dot(g_ref[3])
-
-        ok = jnp.abs(a) >= mt_eps
-        f = 1.0 / _sel(ok, a, jnp.ones_like(a))
-        u = un * f
-        ok &= (u >= 0.0) & (u <= 1.0)
-        v = vn * f
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-        t = tn * f
-        ok &= t > mt_eps
-        dist = t * f_ref[10:11, :]  # |d| row -> dist = t * |d|
-        ok &= dist > self_hit_eps
-        dist = _sel(ok, dist, jnp.full_like(dist, _INF))
+        dist = _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps)
         _accum_nearest(i, j, dist, dist_ref, idx_ref)
+
+
+def _mxu_dist_kernel(order_ref, count_ref, f_ref, g_ref, dist_ref, *,
+                     mt_eps, self_hit_eps):
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+    i = order_ref[j, k]
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        dist_ref[:, :] = jnp.full(dist_ref.shape, _INF, jnp.float32)
+
+    @pl.when(k < count_ref[j])
+    def _():
+        dist = _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps)
+        _accum_min(i, dist, dist_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
@@ -318,7 +525,7 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
     tile_mask as in nearest_hit_pallas. Returns (dist (R,), idx (R,)).
     """
     R = rayf.shape[1]
-    T = g.shape[1]
+    T = g.shape[2]  # g: (4, 16, Tp) lane-major feature planes
     nr, nt = R // TILE_R, T // TILE_T
     kernel = functools.partial(
         _mxu_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
@@ -331,8 +538,8 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
             pl.BlockSpec((_KF, TILE_R),
                          lambda j, k, order, count: (0, order[j, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TILE_T, _KF),
-                         lambda j, k, order, count: (0, j, 0),
+            pl.BlockSpec((4, _KF, TILE_T),
+                         lambda j, k, order, count: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -357,6 +564,44 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
         interpret=_interpret(),
     )(order, count, rayf, g)
     return dist.reshape(R), idx.reshape(R)
+
+
+@functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
+def nearest_dist_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
+    """MXU variant of nearest_dist_pallas (min distance, no winner index)."""
+    R = rayf.shape[1]
+    T = g.shape[2]  # g: (4, 16, Tp) lane-major feature planes
+    nr, nt = R // TILE_R, T // TILE_T
+    kernel = functools.partial(
+        _mxu_dist_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
+    )
+    order, count = tile_worklist(tile_mask)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, nr),
+        in_specs=[
+            pl.BlockSpec((_KF, TILE_R),
+                         lambda j, k, order, count: (0, order[j, k]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _KF, TILE_T),
+                         lambda j, k, order, count: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dist = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nr) * int(nt) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
+            bytes_accessed=(nr * _KF * TILE_R + nt * 4 * _KF * TILE_T) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(order, count, rayf, g)
+    return dist.reshape(R)
 
 
 def pack_triangles(vertices, valid):
@@ -464,60 +709,247 @@ class KernelPack(NamedTuple):
     v0: jax.Array             # (Tp, 3) clustered + padded
     e1: jax.Array             # (Tp, 3)
     e2: jax.Array             # (Tp, 3)
-    table: jax.Array | None   # (Tp, 19) winner-fetch table (clustered):
-                              # v0(3) e1(3) e2(3) n0/n1/n2(9) obj(1); fetched
-                              # with ONE one-hot matmul per collide — XLA's
-                              # TPU row-gather is a serial loop, the one-hot
-                              # product is an exact MXU gather. None when
-                              # built without normals/tri_obj.
+    table: jax.Array | None   # (Tp, 24|32) winner-fetch table (clustered):
+                              # v0(3) e1(3) e2(3) n0/n1/n2(9) obj(1), then —
+                              # 32-wide only — ka(3) kd(3) ks(3) ns(1) nr(1)
+                              # of the owning object, zero-padded to a
+                              # sublane multiple. Fetched in-kernel by
+                              # fetch_winner_rows (one one-hot MXU matmul
+                              # per active pair tile — XLA's TPU row-gather
+                              # is a serial loop). None when built without
+                              # normals/tri_obj.
 
 
-def pack_geometry(vertices, valid, normals=None, tri_obj=None) -> KernelPack:
+# table column layout (see KernelPack.table)
+COL_V0 = slice(0, 3)
+COL_E1 = slice(3, 6)
+COL_E2 = slice(6, 9)
+COL_N = slice(9, 18)
+COL_OBJ = 18
+COL_MAT = slice(19, 30)  # ka(3) kd(3) ks(3) ns(1) nr(1) — 32-wide tables only
+TABLE_WIDTH_MAT = 32
+TABLE_WIDTH_NOMAT = 24
+
+
+def pack_geometry(vertices, valid, normals=None, tri_obj=None,
+                  materials=None) -> KernelPack:
     """Cluster + pack a triangle soup for the Pallas/MXU kernels.
 
     With normals/tri_obj the winner-fetch table is built too (required by
-    collide; collide_dist-only callers may omit them). Differentiable into
-    vertices/normals: the kernel itself only selects, but the winner's
-    geometry values are re-fetched from this pack by collide, so the pack
-    must NOT be built under stop_gradient when gradients are wanted.
+    collide; collide_dist-only callers may omit them). With `materials`
+    (a Materials pytree) the owning object's ka/kd/ks/ns/nr are appended per
+    triangle, so collide returns them with the SAME fetch — replacing four
+    per-ray gathers in shading (XLA lowers TPU row-gathers to serial loops).
+    Differentiable into vertices/normals/materials: the kernel itself only
+    selects, but the winner's values are re-fetched from this pack's table,
+    so the pack must NOT be built under stop_gradient when gradients are
+    wanted.
     """
     perm, tile_aabb, tile_nonempty = cluster_triangles(vertices, valid)
     v0, e1, e2 = pack_triangles(vertices[perm], valid[perm])
     table = None
     if normals is not None and tri_obj is not None:
         Tp = v0.shape[0]
-        n = normals[perm].reshape(normals.shape[0], 9)
+        T = normals.shape[0]
+        n = normals[perm].reshape(T, 9)
         ob = tri_obj[perm].astype(jnp.float32)[:, None]  # small ints: f32-exact
-        pad = Tp - n.shape[0]
+        cols = [n, ob]
+        width = TABLE_WIDTH_NOMAT
+        if materials is not None:
+            mat = jnp.concatenate(
+                [materials.ka, materials.kd, materials.ks,
+                 materials.ns[:, None], materials.nr[:, None]], axis=1
+            )  # (O, 11)
+            # per-triangle material rows via one-hot matmul (exact 1.0*x):
+            # a (T,) row-gather would lower to a serial loop on TPU
+            O = mat.shape[0]
+            oh = (tri_obj[perm][:, None]
+                  == jnp.arange(O, dtype=tri_obj.dtype)[None, :])
+            cols.append(jax.lax.dot_general(
+                oh.astype(mat.dtype), mat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=mat.dtype,
+            ))
+            width = TABLE_WIDTH_MAT
+        body = jnp.concatenate(cols, axis=1)
+        pad = Tp - T
         if pad:
-            n = jnp.concatenate([n, jnp.zeros((pad, 9), n.dtype)])
-            ob = jnp.concatenate([ob, jnp.zeros((pad, 1), ob.dtype)])
-        table = jnp.concatenate([v0, e1, e2, n, ob], axis=1)  # (Tp, 19)
+            body = jnp.concatenate([body, jnp.zeros((pad, body.shape[1]))])
+        table = jnp.concatenate([v0, e1, e2, body], axis=1)
+        table = jnp.concatenate(
+            [table, jnp.zeros((Tp, width - table.shape[1]), table.dtype)],
+            axis=1,
+        )
     return KernelPack(perm, tile_aabb, tile_nonempty, v0, e1, e2, table)
 
 
 def tile_cull_mask_packed(op, dp, tile_aabb, tile_nonempty):
-    """(nT, nR) int32 pair-tile mask from packed (3, Rp) rays.
+    """(nT, nR) int32 pair-tile mask from packed (3, Rp) rays — EXACT
+    per-ray slab tests, vectorized over boxes.
 
-    Same forward-only slab test as `tile_cull_mask_clustered` but in the
-    kernel's lane-major ray layout: every intermediate is a (3, Rp) or
-    (1, Rp) array (full 128-lane rows), with a static Python loop over the
-    nT boxes — avoids the (R, nT, 3) broadcast layout whose 3-wide trailing
-    dim pads to 128 lanes on TPU.
+    Everything is a 2D (nT, Rp) array (boxes on sublanes, rays on lanes) —
+    well-tiled for the VPU, no 3-wide trailing dims, no Python loop over
+    boxes (the previous static loop unrolled nT slab tests into the traced
+    graph — linear trace/compile blowup with mesh size).
     """
-    nT = tile_aabb.shape[0]
     nr = op.shape[1] // TILE_R
+    hit = _slab_hits_packed(op, dp, tile_aabb)  # (nT, Rp)
+    hit &= tile_nonempty[:, None]
+    nT = tile_aabb.shape[0]
+    return hit.reshape(nT, nr, TILE_R).any(axis=2).astype(jnp.int32)
+
+
+def _slab_hits_packed(op, dp, boxes):
+    """(nB, Rp) bool forward-only slab test of packed rays vs boxes.
+
+    op/dp: (3, Rp); boxes: (nB, 2, 3). Branch-free; zero direction
+    components use a tiny epsilon stand-in exactly like the original
+    per-box builder (parked rays have origin 3e29 -> guaranteed miss).
+    """
     dsafe = jnp.where(dp == 0.0, 1e-30, dp)
     inv = 1.0 / dsafe  # (3, Rp)
-    rows = []
-    for j in range(nT):
-        t1 = (tile_aabb[j, 0][:, None] - op) * inv  # (3, Rp)
-        t2 = (tile_aabb[j, 1][:, None] - op) * inv
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=0)  # (Rp,)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
-        hit = (tmax >= tmin) & (tmax >= 0.0) & tile_nonempty[j]
-        rows.append(hit.reshape(nr, TILE_R).any(axis=1))  # (nr,)
-    return jnp.stack(rows).astype(jnp.int32)  # (nT, nr)
+    tmin = jnp.full((boxes.shape[0], op.shape[1]), -_INF)
+    tmax = jnp.full((boxes.shape[0], op.shape[1]), _INF)
+    for k in range(3):  # static 3 axes
+        t1 = (boxes[:, 0, k][:, None] - op[k][None, :]) * inv[k][None, :]
+        t2 = (boxes[:, 1, k][:, None] - op[k][None, :]) * inv[k][None, :]
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+    return (tmax >= tmin) & (tmax >= 0.0)
+
+
+def ray_tile_intervals(op, dp):
+    """Per-ray-tile conservative bounds: ((3,nr) olo/ohi/dlo/dhi, (nr,) any_live).
+
+    Parked/dead rays (|origin| >= 1e20 — see render.py ray parking) are
+    excluded from the bounds; a tile of only parked rays reports
+    any_live=False and culls everything.
+    """
+    nr = op.shape[1] // TILE_R
+    o = op.reshape(3, nr, TILE_R)
+    d = dp.reshape(3, nr, TILE_R)
+    live = jnp.all(jnp.abs(o) < 1e20, axis=0)  # (nr, TILE_R)
+    big = jnp.where(live[None], o, _INF)
+    small = jnp.where(live[None], o, -_INF)
+    olo, ohi = big.min(axis=2), small.max(axis=2)  # (3, nr)
+    dbig = jnp.where(live[None], d, _INF)
+    dsmall = jnp.where(live[None], d, -_INF)
+    dlo, dhi = dbig.min(axis=2), dsmall.max(axis=2)
+    return olo, ohi, dlo, dhi, live.any(axis=1)
+
+
+def tile_cull_mask_interval(op, dp, boxes, nonempty):
+    """(nB, nr) int32 conservative pair-tile mask via interval arithmetic.
+
+    Each ray TILE is abstracted to an origin box x direction box (live rays
+    only); a (tile, box) pair survives iff SOME ray in that shaft could hit
+    the box — interval slab test with sound division (a direction interval
+    spanning 0 leaves that axis unconstrained). O(nr * nB) work vs the
+    exact builder's O(R * nB): 256x less per level, at the price of
+    conservative (never wrong, sometimes loose) culling.
+    """
+    olo, ohi, dlo, dhi, any_live = ray_tile_intervals(op, dp)
+    nB = boxes.shape[0]
+    nr = olo.shape[1]
+    tlo = jnp.full((nB, nr), -_INF)
+    thi = jnp.full((nB, nr), _INF)
+    for k in range(3):
+        spans0 = (dlo[k] <= 0.0) & (dhi[k] >= 0.0)  # (nr,)
+        # inverse-direction interval (valid only when 0 not in [dlo, dhi])
+        safe_lo = jnp.where(dlo[k] == 0.0, 1e-30, dlo[k])
+        safe_hi = jnp.where(dhi[k] == 0.0, -1e-30, dhi[k])
+        ilo = 1.0 / safe_hi
+        ihi = 1.0 / safe_lo
+        # numerator intervals for both slab planes: (nB, nr)
+        nlo_a = boxes[:, 0, k][:, None] - ohi[k][None, :]
+        nlo_b = boxes[:, 0, k][:, None] - olo[k][None, :]
+        nhi_a = boxes[:, 1, k][:, None] - ohi[k][None, :]
+        nhi_b = boxes[:, 1, k][:, None] - olo[k][None, :]
+        cand = [n * i for n in (nlo_a, nlo_b, nhi_a, nhi_b)
+                for i in (ilo[None, :], ihi[None, :])]
+        lo_k = functools.reduce(jnp.minimum, cand)
+        hi_k = functools.reduce(jnp.maximum, cand)
+        # axis with a sign-spanning direction interval: unconstrained,
+        # UNLESS the origin interval is disjoint from the slab on that axis
+        # and every direction is (near-)zero there — keep it simple and
+        # fully unconstrain (sound)
+        lo_k = jnp.where(spans0[None, :], -_INF, lo_k)
+        hi_k = jnp.where(spans0[None, :], _INF, hi_k)
+        tlo = jnp.maximum(tlo, lo_k)
+        thi = jnp.minimum(thi, hi_k)
+    hit = (thi >= tlo) & (thi >= 0.0)
+    hit &= nonempty[:, None] & any_live[None, :]
+    return hit.astype(jnp.int32)
+
+
+def build_tile_levels(tile_aabb, tile_nonempty, branching: int = 8,
+                      top_max: int = 64):
+    """Union-box hierarchy over the morton-ordered leaf tiles.
+
+    Consecutive morton tiles are spatial neighbours (children of the same
+    octree cell), so unioning `branching` consecutive tile boxes recovers
+    the parent-cell box — the flat-array analog of the reference octree's
+    internal nodes (octree.cu:231-360). Returns [(boxes, nonempty), ...]
+    coarse -> fine, EXCLUDING the leaf level; empty when nT <= top_max.
+    """
+    levels = []
+    boxes, nonempty = tile_aabb, tile_nonempty
+    while boxes.shape[0] > top_max:
+        n = boxes.shape[0]
+        pad = (-n) % branching
+        if pad:
+            empty = jnp.stack(
+                [jnp.full((3,), _INF), jnp.full((3,), -_INF)]
+            )  # (2,3) inverted box: union-neutral
+            boxes = jnp.concatenate(
+                [boxes, jnp.broadcast_to(empty, (pad, 2, 3))])
+            nonempty = jnp.concatenate([nonempty, jnp.zeros((pad,), bool)])
+        g = boxes.reshape(-1, branching, 2, 3)
+        boxes = jnp.stack([g[:, :, 0].min(axis=1), g[:, :, 1].max(axis=1)],
+                          axis=1)
+        nonempty = nonempty.reshape(-1, branching).any(axis=1)
+        boxes = jnp.where(nonempty[:, None, None], boxes, 0.0)
+        levels.append((boxes, nonempty))
+    return levels[::-1]  # coarse -> fine
+
+
+def tile_cull_mask_hierarchical(op, dp, pack, partitioning: str):
+    """(nT, nR) pair-tile mask per the runtime partitioning mode.
+
+    - "none": all-ones — true brute force (PARTITIONING_NONE,
+      gpu/CMakeLists.txt:12-15).
+    - "aabb": flat exact per-ray slab tests against every leaf tile box
+      (PARTITIONING_AABB analog at kernel-tile granularity).
+    - "octree": coarse-to-fine traversal of the morton-tile hierarchy — the
+      TPU recast of the octree DFS (gpu/hit.cu:120-169). The TOP level
+      (<= 64 union boxes) is tested EXACTLY per ray (this carries the
+      dominant signal: a ray that misses a whole subtree is culled from all
+      its leaves); every finer level uses the O(nr x nB) interval test at
+      ray-tile granularity, AND-chained parent -> child. Total builder work
+      is O(R * top + nr * nT) instead of O(R * nT), so the mask stays cheap
+      at 100k+ triangles while the sweep kernel's worklist (the sparse
+      phase of the traversal) executes only surviving pair tiles.
+    """
+    nT = pack.tile_aabb.shape[0]
+    nr = op.shape[1] // TILE_R
+    if partitioning == "none":
+        return jnp.ones((nT, nr), jnp.int32)
+    if partitioning == "aabb" or nT <= 64:
+        # small scenes: the exact leaf test IS the whole hierarchy
+        return tile_cull_mask_packed(op, dp, pack.tile_aabb,
+                                     pack.tile_nonempty)
+    levels = build_tile_levels(pack.tile_aabb, pack.tile_nonempty)
+    top_boxes, top_nonempty = levels[0]
+    mask = tile_cull_mask_packed(op, dp, top_boxes, top_nonempty)  # exact
+    for boxes, nonempty in levels[1:]:
+        child = tile_cull_mask_interval(op, dp, boxes, nonempty)
+        nB = boxes.shape[0]
+        parent = jnp.repeat(mask, 8, axis=0)[:nB]
+        mask = child * parent
+    leaf = tile_cull_mask_interval(op, dp, pack.tile_aabb,
+                                   pack.tile_nonempty)
+    parent = jnp.repeat(mask, 8, axis=0)[:nT]
+    return leaf * parent
 
 
 def tile_worklist(tile_mask):
@@ -541,60 +973,3 @@ def tile_worklist(tile_mask):
     k = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
     order = jnp.where(k < jnp.maximum(count, 1)[:, None], order, last)
     return order, count
-
-
-def tile_cull_mask_clustered(origins, dirs, tile_aabb, tile_nonempty,
-                             n_ray_tiles):
-    """(nT, nR) int32 tile mask from per-tile AABBs of clustered triangles.
-
-    Forward-only slab test (t >= 0): boxes entirely behind a ray cannot hold
-    an accepted hit (dist > self-hit eps), which culls most tiles for shadow
-    and bounce rays leaving a surface.
-    """
-    from raytracing_gpu_tpu.partition.aabb import hit_aabb_forward
-
-    thit = hit_aabb_forward(origins, dirs, tile_aabb)  # (R, nT)
-    thit &= tile_nonempty[None, :]
-    R = origins.shape[0]
-    pad_r = n_ray_tiles * TILE_R - R
-    if pad_r:
-        thit = jnp.concatenate([thit, jnp.zeros((pad_r, thit.shape[1]), bool)])
-    tile_pair = thit.reshape(n_ray_tiles, TILE_R, -1).any(axis=1)  # (nR,nT)
-    return tile_pair.T.astype(jnp.int32)  # (nT, nR)
-
-
-def obj_tile_table(tri_obj, valid, n_objects: int, n_tri_tiles: int):
-    """(nT, O) bool — does triangle tile j contain any valid triangle of
-    object o? Static per scene (cheap scatter over T)."""
-    T = tri_obj.shape[0]
-    tile_idx = jnp.arange(T) // TILE_T
-    tab = jnp.zeros((n_tri_tiles, n_objects), jnp.int32)
-    tab = tab.at[tile_idx, tri_obj].max(valid.astype(jnp.int32))
-    return tab
-
-
-def tile_cull_mask(origins, dirs, geometry, n_objects, n_ray_tiles, n_tri_tiles):
-    """(nT, nR) int32 tile mask from per-object AABBs, or all-ones.
-
-    A pair tile runs iff ANY ray in the tile hits the (node-)AABB of ANY
-    object with triangles in the tile. Factored through objects so nothing
-    (R x T)-sized is materialized: (R,O) slab tests -> per-ray-tile OR
-    -> (nR,O) @ (O,nT) boolean matmul.
-    """
-    if geometry.obj_aabb is None:
-        return jnp.ones((n_tri_tiles, n_ray_tiles), jnp.int32)
-    from raytracing_gpu_tpu.partition.aabb import hit_aabb
-
-    ohit = hit_aabb(origins, dirs, geometry.obj_aabb)  # (R, O)
-    if geometry.obj_node_box is not None:
-        ohit &= hit_aabb(origins, dirs, geometry.obj_node_box)
-    R = origins.shape[0]
-    pad_r = n_ray_tiles * TILE_R - R
-    if pad_r:
-        ohit = jnp.concatenate([ohit, jnp.zeros((pad_r, ohit.shape[1]), bool)])
-    tile_ray_obj = ohit.reshape(n_ray_tiles, TILE_R, -1).any(axis=1)  # (nR,O)
-    tab = obj_tile_table(geometry.tri_obj, geometry.valid, n_objects,
-                         n_tri_tiles)  # (nT,O)
-    hits = jnp.dot(tab.astype(jnp.float32), tile_ray_obj.T.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)  # (nT, nR)
-    return (hits > 0.0).astype(jnp.int32)

@@ -42,6 +42,24 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def material_rows(mats, obj):
+    """(R, 11) [ka kd ks ns nr] per hit object via one one-hot matmul.
+
+    Replaces per-field `mats.ka[hit.obj]` gathers: XLA lowers TPU row-gather
+    to a serial loop (~0.5µs/row — measured 1.6ms per gather per 65k-ray
+    chunk), while the one-hot product is an exact MXU op (every element is a
+    single 1.0*x product). Differentiable into the material tables.
+    """
+    table = jnp.concatenate(
+        [mats.ka, mats.kd, mats.ks, mats.ns[:, None], mats.nr[:, None]],
+        axis=1,
+    )  # (O, 11)
+    O = table.shape[0]
+    onehot = (obj[:, None] == jnp.arange(O, dtype=obj.dtype)[None, :])
+    return jnp.matmul(onehot.astype(table.dtype), table,
+                      precision="highest")
+
+
 def _normalize(a):
     # exact when |a| > 0; guarded against 0/0 on dead/masked lanes so that
     # backward-mode cotangents stay NaN-free
@@ -61,7 +79,7 @@ def apply_specular(color, inc_origin, inc_dir, hit_point, normal, ks, ns, cops: 
 
 
 def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
-          scene_axis=None, backend="jnp", pack=None):
+          scene_axis=None, backend="jnp", pack=None, partitioning="octree"):
     """apply_light (cpu/light.c:33-99) for a batch of hits.
 
     Returns (R,3) colors in the cops domain. Rays with hit.mask False get
@@ -71,10 +89,13 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
     R = hit.point.shape[0]
     lights = scene.lights
     mats = scene.materials
-    ka = mats.ka[hit.obj]  # (R,3)
-    kd = mats.kd[hit.obj]
-    ks = mats.ks[hit.obj]
-    ns = mats.ns[hit.obj]
+    # winning object's materials: already fetched with the winner row on
+    # kernel backends; one-hot matmul otherwise (never per-field gathers)
+    mrows = hit.mat if hit.mat is not None else material_rows(mats, hit.obj)
+    ka = mrows[:, 0:3]  # (R,3)
+    kd = mrows[:, 3:6]
+    ks = mrows[:, 6:9]
+    ns = mrows[:, 9]
     N = hit.normal
     hp = hit.point
 
@@ -105,7 +126,7 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
         sd = jnp.concatenate(sdirs, axis=0)
         sd = jnp.where(jnp.tile(hit.mask, (K,))[:, None], sd, 0.0)
         fd = collide_dist(so, sd, scene.geometry, mt_eps, self_hit_eps,
-                          scene_axis, backend, pack)
+                          scene_axis, backend, pack, partitioning)
         occluded_all = (fd != 0.0).reshape(K, R)  # has_direct_hit quirk
     else:
         occluded_all = None

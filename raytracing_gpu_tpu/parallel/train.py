@@ -124,6 +124,30 @@ def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
         def local_loss(params):
             fixed = dataclasses.replace(fixed_rest, geometry=fixed_geo)
             scene = insert_params(fixed, params)
+            if cfg.partitioning != "none" and cfg.backend == "jnp":
+                # rebuild the object-level accel from the CURRENT vertices
+                # every step (the boxes would go stale as geometry moves);
+                # stop_gradient: culling is a boolean, conservative pre-test
+                # — no gradient flows through box coordinates. The kernel
+                # backends need nothing here: their pack (clustering +
+                # tile AABBs + winner table) is rebuilt per step inside
+                # _trace_chunked and the table IS differentiable.
+                from raytracing_gpu_tpu.partition.apply import with_accel
+
+                frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                scene.geometry)
+                acc, _ = with_accel(
+                    dataclasses.replace(scene, geometry=frozen),
+                    cfg.partitioning,
+                )
+                scene = dataclasses.replace(
+                    scene,
+                    geometry=dataclasses.replace(
+                        scene.geometry,
+                        obj_aabb=acc.geometry.obj_aabb,
+                        obj_node_box=acc.geometry.obj_node_box,
+                    ),
+                )
             u, v, C = camera_ops.camera_basis(scene.camera)
             origins, dirs = camera_ops.make_rays(
                 u, v, C, params["cam_position"], coords
@@ -168,10 +192,6 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
     if cfg.quantize != "smooth":
         raise ValueError("training requires quantize='smooth' (match mode "
                          "clamps at every op and kills gradients)")
-    if scene.geometry.obj_aabb is not None:
-        raise ValueError("training expects partitioning='none' geometry: "
-                         "accel data would go stale as vertices move "
-                         "(rebuild per step is future work)")
     optimizer = optimizer or optax.adam(learning_rate)
     import numpy as _np
 
@@ -184,6 +204,11 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
 
     @functools.partial(jax.jit, static_argnames=("n_pixels",))
     def step_fn(state, fixed_geo, fixed_rest, coords, target, n_pixels):
+        # any caller-attached accel is stripped (it cannot be sharded with
+        # the triangle arrays and would go stale as vertices move); the
+        # per-step rebuild inside device_fn replaces it
+        fixed_geo = dataclasses.replace(fixed_geo, obj_aabb=None,
+                                        obj_node_box=None)
         loss, grads = _loss_and_grads_fn(mesh, cfg, depth, n_pixels)(
             state.params, fixed_geo, fixed_rest, coords, target
         )

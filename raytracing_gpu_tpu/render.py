@@ -54,6 +54,17 @@ def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
     return max(1, min(cap, d))
 
 
+def _winner_nr(scene, hit):
+    """(R,) reflection coefficient of each ray's winning object — from the
+    fetched winner row when present (kernel backends), else via the one-hot
+    material fetch (see ops.shading.material_rows on why not a gather)."""
+    if hit.mat is not None:
+        return hit.mat[:, 10]
+    from raytracing_gpu_tpu.ops.shading import material_rows
+
+    return material_rows(scene.materials, hit.obj)[:, 10]
+
+
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
                unroll: bool = False, scene_axis: str | None = None,
                pack=None):
@@ -79,10 +90,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
     def step(o, d, coef, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend, pack)
+                      scene_axis, cfg.backend, pack, cfg.partitioning)
         use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
-                      cfg.backend, pack)
+                      cfg.backend, pack, cfg.partitioning)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, coef[:, None]), 0.0))
         # reflection: ray_bounce (cpu/ray.c:16-25) with UNnormalized normal
         n = hit.normal
@@ -93,7 +104,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
         # again (use stays False once coef hits 0)
         o = jnp.where(use[:, None], hit.point, 3e29)
         d = jnp.where(use[:, None], refl_dir, 0.0)
-        coef = jnp.where(use, scene.materials.nr[hit.obj] * coef, 0.0)
+        coef = jnp.where(use, _winner_nr(scene, hit) * coef, 0.0)
         return o, d, coef, use, color
 
     init = (
@@ -139,16 +150,16 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
     alive = jnp.ones((R,), bool)
     for _ in range(cfg.max_bounce + 1):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend, pack)
+                      scene_axis, cfg.backend, pack, cfg.partitioning)
         use = alive & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
-                      cfg.backend, pack)
+                      cfg.backend, pack, cfg.partitioning)
         color = cops.add(color, jnp.where(use[:, None], cops.mul(local, nr_acc[:, None]), 0.0))
         n = hit.normal
         refl = d - n * (2.0 * jnp.sum(n * d, axis=-1))[:, None]
         o = jnp.where(use[:, None], hit.point, 3e29)  # park dead rays
         d = jnp.where(use[:, None], refl, 0.0)
-        nr = jnp.where(use, scene.materials.nr[hit.obj], 0.0)
+        nr = jnp.where(use, _winner_nr(scene, hit), 0.0)
         nr_acc = nr_acc * nr
         alive = use & (nr_acc > cfg.reflect_cutoff)
     return color
@@ -174,6 +185,7 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
         pack = pk.pack_geometry(
             scene.geometry.vertices, scene.geometry.valid,
             scene.geometry.normals, scene.geometry.tri_obj,
+            scene.materials,
         )
     if gpu_semantics:
         f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis,
@@ -185,17 +197,55 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
     return colors.reshape(-1, 3)[:R]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "depth", "width", "height"))
-def _render_cpu_mode(scene: Scene, coords, cfg: RenderConfig, depth: int, width: int, height: int):
-    """CPU-reference pipeline: 2x2 supersampling, 0.25 weights, clamp-order
-    accumulation (cpu/raytracer.c:50-70). coords: (H,W,4,2)."""
-    cops = ColorOps(cfg.quantize)
+def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
+                 gpu_semantics=False):
+    """(n_rays, 3) colors via lax.map over chunk INDICES, generating each
+    chunk's plane coords and rays in-body with `coord_fn(ray_ids)`.
+
+    Materializing the full (n_rays, 2) coord plane and scanning over it made
+    XLA compile time scale with pixel count (87s at 512x512, dominated by
+    megapixel buffer plumbing); id-generated rays compile the identical math
+    in ~13s. Tail ray ids are clamped to the last valid ray (its duplicated
+    results are sliced away).
+    """
+    chunk = min(cfg.ray_chunk, n_rays)
+    nch = -(-n_rays) // chunk
+    pack = None
+    if cfg.backend in ("pallas", "mxu"):
+        # per-scene clustering/packing hoisted out of the chunk map and the
+        # bounce loops (the to_cuda-time analog, gpu/scene.cu:224-352)
+        from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+        pack = pk.pack_geometry(
+            scene.geometry.vertices, scene.geometry.valid,
+            scene.geometry.normals, scene.geometry.tri_obj,
+            scene.materials,
+        )
     u, v, C = camera_ops.camera_basis(scene.camera)
     pos = jnp.asarray(scene.camera.position, jnp.float32)
-    flat = coords.reshape(-1, 2)
-    origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
+
+    def body(ci):
+        r = jnp.minimum(ci * chunk + jnp.arange(chunk), n_rays - 1)
+        coords = coord_fn(r)
+        origins, dirs = camera_ops.make_rays(u, v, C, pos, coords)
+        if gpu_semantics:
+            return trace_rays_gpu(scene, origins, dirs, cfg, None, pack)
+        return trace_rays(scene, origins, dirs, cfg, depth, unroll, None,
+                          pack)
+
+    colors = jax.lax.map(body, jnp.arange(nch))
+    return colors.reshape(-1, 3)[:n_rays]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "depth", "width", "height"))
+def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, height: int):
+    """CPU-reference pipeline: 2x2 supersampling, 0.25 weights, clamp-order
+    accumulation (cpu/raytracer.c:50-70)."""
     unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
-    colors = _trace_chunked(scene, origins, dirs, cfg, depth, unroll)  # (H*W*4,3)
+    coord_fn = functools.partial(
+        camera_ops.cpu_subpixel_coords_traced, width, height)
+    colors = _trace_image(scene, cfg, depth, width * height * 4, coord_fn,
+                          unroll)  # (H*W*4,3)
     return assemble_cpu_image(colors, cfg, width, height)
 
 
@@ -211,7 +261,7 @@ def assemble_cpu_image(colors, cfg: RenderConfig, width: int, height: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height: int):
+def _render_gpu_mode(scene: Scene, cfg: RenderConfig, width: int, height: int):
     """GPU-reference pipeline: render at aliasing*dims with one ray per hi-res
     pixel, iterative bounce loop capped at max_bounce (gpu/raytracer.cu:107-122),
     then box-downscale (gpu/raytracer.cu:49-85).
@@ -225,18 +275,15 @@ def _render_gpu_mode(scene: Scene, coords, cfg: RenderConfig, width: int, height
     """
     import dataclasses as _dc
 
-    cops = ColorOps(cfg.quantize)
     hw, hh = width * cfg.aliasing, height * cfg.aliasing
     # gpu/rt.cpp:78-79 multiplies camera w/h by aliasing BEFORE render, so
     # the image-plane distance L = width/(2 tan(fov/2)) uses the HI-RES width
-    cam_hi = _dc.replace(scene.camera, width=hw, height=hh)
-    u, v, C = camera_ops.camera_basis(cam_hi)
-    pos = jnp.asarray(scene.camera.position, jnp.float32)
-    flat = coords.reshape(-1, 2)
-    origins, dirs = camera_ops.make_rays(u, v, C, pos, flat)
-
-    colors = _trace_chunked(scene, origins, dirs, cfg, depth=0,
-                            gpu_semantics=True)
+    scene_hi = _dc.replace(
+        scene, camera=_dc.replace(scene.camera, width=hw, height=hh)
+    )
+    coord_fn = functools.partial(camera_ops.gpu_pixel_coords_traced, hw, hh)
+    colors = _trace_image(scene_hi, cfg, 0, hw * hh, coord_fn,
+                          gpu_semantics=True)
     return assemble_gpu_image(colors, cfg, width, height)
 
 
@@ -274,15 +321,23 @@ def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.nd
 
         scene, _ = with_accel(scene, cfg.partitioning)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
+    from raytracing_gpu_tpu.utils.compile_cache import aot_prewarm
+
+    shapes = tuple(jax.tree.map(lambda a: a.shape, jax.tree.leaves(scene)))
     if cfg.mode == "cpu":
         cap = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
         depth = required_depth(max_nr, cfg.reflect_cutoff, cap)
-        coords = jnp.asarray(camera_ops.cpu_subpixel_coords(width, height))
-        img = _render_cpu_mode(scene, coords, cfg, depth, width, height)
+        # on TPU with a persistent cache: terminal-side AOT compile (~13s)
+        # instead of the minutes-long execute-path compile (see
+        # utils/compile_cache.py)
+        aot_prewarm(_render_cpu_mode, ("cpu", cfg, depth, width, height,
+                                       shapes),
+                    scene, cfg, depth, width, height)
+        img = _render_cpu_mode(scene, cfg, depth, width, height)
     else:
-        hw, hh = width * cfg.aliasing, height * cfg.aliasing
-        coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh))
-        img = _render_gpu_mode(scene, coords, cfg, width, height)
+        aot_prewarm(_render_gpu_mode, ("gpu", cfg, width, height, shapes),
+                    scene, cfg, width, height)
+        img = _render_gpu_mode(scene, cfg, width, height)
     return np.asarray(img)
 
 
@@ -305,11 +360,8 @@ def render_image(scene: Scene, cfg: RenderConfig | None = None,
     if depth is None:
         depth = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
     if cfg.mode == "cpu":
-        coords = jnp.asarray(camera_ops.cpu_subpixel_coords(width, height))
-        return _render_cpu_mode(scene, coords, cfg, depth, width, height)
-    hw, hh = width * cfg.aliasing, height * cfg.aliasing
-    coords = jnp.asarray(camera_ops.gpu_pixel_coords(hw, hh))
-    return _render_gpu_mode(scene, coords, cfg, width, height)
+        return _render_cpu_mode(scene, cfg, depth, width, height)
+    return _render_gpu_mode(scene, cfg, width, height)
 
 
 def render(input_path: str, output_path: str, cfg: RenderConfig = RenderConfig()) -> None:

@@ -71,46 +71,87 @@ def test_render_pallas_matches_jnp(scene):
     )
 
 
-def test_render_pallas_with_octree_cull(scene):
-    from raytracing_gpu_tpu.utils.compare import assert_images_close
-
+@pytest.mark.parametrize("partitioning", ["none", "aabb", "octree"])
+def test_render_pallas_partitioning_modes_identical(scene, partitioning):
+    """The kernel-side culling modes (brute force / flat tile AABBs /
+    hierarchical octree-tile traversal) are semantically invisible: every
+    mode must produce the IDENTICAL image from the same backend — the
+    runtime form of the reference's 'every build-matrix variant renders the
+    same scenes' contract (gpu/CMakeLists.txt:4-15)."""
     ref = render_scene(
-        scene, RenderConfig(mode="cpu", quantize="match", backend="pallas")
+        scene, RenderConfig(mode="cpu", quantize="match", backend="pallas",
+                            partitioning="none")
     )
     pal = render_scene(
         scene,
         RenderConfig(mode="cpu", quantize="match", backend="pallas",
-                     partitioning="octree"),
+                     partitioning=partitioning),
     )
-    # same backend with/without culling: culling is conservative, results
-    # must be IDENTICAL
     np.testing.assert_array_equal(ref, pal)
 
 
-def test_tile_cull_mask_conservative(scene):
-    """Every (ray tile, tri tile) containing a true hit must be unmasked."""
+def test_partitioning_modes_actually_cull(scene):
+    """Non-vacuity check: with culling on, the pair-tile mask has culled
+    entries for real primary rays; 'none' is all ones (true brute force)."""
     dev = scene_to_device(scene)
-    from raytracing_gpu_tpu.partition.apply import with_accel
-
-    acc, _ = with_accel(dev, "octree")
-    rng = np.random.RandomState(2)
-    R = pk.TILE_R  # one ray tile
-    o = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0)
+    geo = dev.geometry
+    pack = pk.pack_geometry(geo.vertices, geo.valid)
+    rng = np.random.RandomState(3)
+    R = 2 * pk.TILE_R
+    o = jnp.broadcast_to(jnp.asarray([0.0, 2.0, -8.0], jnp.float32), (R, 3))
     d = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0)
-    geo = acc.geometry
-    T = geo.vertices.shape[0]
-    nt = -(-T // pk.TILE_T)
-    mask = np.asarray(pk.tile_cull_mask(o, d, geo, geo.obj_aabb.shape[0], 1, nt)).T
-    hit = collide(o, d, dev.geometry)
-    # winner triangle's tile must not be culled
+    op, dp, _ = pk.pack_rays(o, d)
+    none = np.asarray(pk.tile_cull_mask_hierarchical(op, dp, pack, "none"))
+    aabb = np.asarray(pk.tile_cull_mask_hierarchical(op, dp, pack, "aabb"))
+    octr = np.asarray(pk.tile_cull_mask_hierarchical(op, dp, pack, "octree"))
+    assert none.all(), "partitioning='none' must be brute force"
+    assert aabb.sum() < none.sum(), "aabb mode must cull some pair tiles"
+    assert octr.sum() < none.sum(), "octree mode must cull some pair tiles"
+
+
+def test_hierarchical_mask_conservative_large_scene():
+    """Octree-mode culling on a >64-tile scene (interval levels engaged):
+    no (ray tile, tri tile) pair holding a true winner may be culled."""
+    from raytracing_gpu_tpu.models.procedural import make_sphere_grid_scene
+
+    scene = make_sphere_grid_scene(nx=4, ny=4, nz=2, n_lat=16, n_lon=20)
+    dev = scene_to_device(scene)
+    geo = dev.geometry
+    assert geo.vertices.shape[0] // pk.TILE_T > 64  # interval path engaged
+    pack = pk.pack_geometry(geo.vertices, geo.valid)
+    rng = np.random.RandomState(4)
+    R = 2 * pk.TILE_R
+    # tile 0: coherent primary rays (camera origin, narrow cone at one
+    # sphere) — the case tile-granularity culling must pay off on;
+    # tile 1: scattered rays everywhere — the adversarial case that must
+    # stay conservative (intervals unconstrained -> nothing culled there)
+    cam = np.asarray(scene.camera.position, np.float32)
+    target = np.array([3.75, 3.75, 1.25], np.float32)  # corner sphere
+    d_coh = (target + rng.rand(pk.TILE_R, 3).astype(np.float32) * 0.6 - cam)
+    o = np.concatenate([np.broadcast_to(cam, (pk.TILE_R, 3)),
+                        rng.rand(pk.TILE_R, 3).astype(np.float32) * 10 - 5])
+    d = np.concatenate([d_coh,
+                        rng.rand(pk.TILE_R, 3).astype(np.float32) * 2 - 1])
+    o, d = jnp.asarray(o.astype(np.float32)), jnp.asarray(d.astype(np.float32))
+    op, dp, _ = pk.pack_rays(o, d)
+    mask = np.asarray(pk.tile_cull_mask_hierarchical(op, dp, pack, "octree"))
     from raytracing_gpu_tpu.ops.intersect import _mt_core
 
-    dist, *_ = _mt_core(o, d, geo.vertices, geo.normals, geo.valid, 1e-7, 0.01)
-    win = np.asarray(jnp.argmin(dist, axis=1))
-    hits = np.asarray(hit.mask)
-    for r in range(R):
-        if hits[r]:
-            assert mask[0, win[r] // pk.TILE_T] == 1
+    dist, *_ = _mt_core(o, d, geo.vertices[pack.perm], geo.normals[pack.perm],
+                        geo.valid[pack.perm], 1e-7, 0.01)
+    dn = np.asarray(dist)
+    win = dn.argmin(axis=1)
+    missed_cull = [
+        (r, int(win[r]) // pk.TILE_T)
+        for r in range(R)
+        if np.isfinite(dn[r, win[r]])
+        and mask[win[r] // pk.TILE_T, r // pk.TILE_R] != 1
+    ]
+    assert not missed_cull, missed_cull
+    # the coherent tile must actually cull most triangle tiles (the entire
+    # point of the hierarchy); a handful survive around the target sphere
+    coherent_active = int(mask[:, 0].sum())
+    assert coherent_active < mask.shape[0] // 4, coherent_active
 
 
 def test_mxu_collide_matches_jnp(scene):
@@ -176,7 +217,8 @@ def test_cluster_perm_is_permutation(scene):
 
 
 def test_cluster_cull_mask_conservative(scene):
-    """No (ray tile, clustered tri tile) holding a true winner is culled."""
+    """No (ray tile, clustered tri tile) holding a true winner is culled
+    by the exact per-ray leaf-tile mask (the 'aabb' partitioning mode)."""
     dev = scene_to_device(scene)
     geo = dev.geometry
     rng = np.random.RandomState(2)
@@ -184,8 +226,9 @@ def test_cluster_cull_mask_conservative(scene):
     o = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0)
     d = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0)
     perm, tile_aabb, tile_nonempty = pk.cluster_triangles(geo.vertices, geo.valid)
+    op, dp, _ = pk.pack_rays(o, d)
     mask = np.asarray(
-        pk.tile_cull_mask_clustered(o, d, tile_aabb, tile_nonempty, 1)
+        pk.tile_cull_mask_packed(op, dp, tile_aabb, tile_nonempty)
     )  # (nT, 1)
     from raytracing_gpu_tpu.ops.intersect import _mt_core
 

@@ -117,6 +117,47 @@ def test_train_step_reduces_loss(scene):
     assert kd_err1 < kd_err0
 
 
+@pytest.mark.parametrize("backend,partitioning", [
+    ("pallas", "octree"),  # kernel backend with hierarchical culling
+    ("jnp", "octree"),     # jnp backend with per-step accel rebuild
+])
+def test_train_step_accelerated(scene, backend, partitioning):
+    """Inverse rendering through ACCELERATED intersection paths: culling is
+    conservative and the winner-table fetch is differentiable, so a train
+    step with the pallas kernel + octree culling (and the jnp path with its
+    per-step accel rebuild) must reduce the loss exactly like brute force."""
+    import optax
+
+    from raytracing_gpu_tpu.parallel.train import PARAM_SPECS
+
+    W = H = 16
+    cfg = RenderConfig(mode="cpu", quantize="smooth", ray_chunk=512,
+                       diff_max_depth=2, backend=backend,
+                       partitioning=partitioning)
+    dev = scene_to_device(scene)
+    mesh = make_mesh(4, 2)
+    target_img = render_scene(scene, dataclasses.replace(cfg)) / 255.0
+    coords = np.asarray(camera_ops.cpu_subpixel_coords(W, H)).reshape(-1, 2)
+    target = np.asarray(target_img).reshape(-1, 3)
+
+    params0 = extract_params(dev)
+    params0["kd"] = params0["kd"].at[0].set(jnp.array([0.9, 0.9, 0.1]))
+    opt = optax.chain(
+        optax.masked(optax.set_to_zero(), {k: k != "kd" for k in PARAM_SPECS}),
+        optax.sgd(2.0),
+    )
+    init_state, step_fn = make_train_step(mesh, cfg, dev, optimizer=opt)
+    state = init_state(params0)
+    geo, rest = split_scene(dev)
+    losses = []
+    for _ in range(6):
+        state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
+                              jnp.asarray(target), W * H)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0] * 0.95, losses
+
+
 def test_vertex_grads_flow_through_scene_sharding(scene):
     """d(loss)/d(vertices) must be nonzero and finite with triangles sharded
     over the scene axis (exercises the all_gather transpose)."""

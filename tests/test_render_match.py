@@ -1,9 +1,21 @@
 """End-to-end render tests vs the CPU-reference oracle.
 
+The full 20-scene corpus (tests/*.svati — the reference's de-facto test
+suite, SURVEY §4) is asserted against golden renders from the compiled C
+reference under EVERY backend: jnp (pure XLA), pallas (VPU kernel,
+interpret mode on CPU — the exact kernel code the TPU compiles), and mxu
+(matmul formulation). This is the runtime form of the reference's implicit
+'every build-matrix variant renders the same scenes' contract
+(gpu/CMakeLists.txt:4-15), which the reference itself never automated.
+
 The comparator tolerates off-by-one uint8 differences on a small fraction of
 pixels (f32 reassociation between gcc scalar code and XLA vector code around
-truncation boundaries); any structural mismatch fails loudly.
+truncation boundaries); any structural mismatch fails loudly. Kernel
+backends run at reduced resolution to bound interpreter time; the slow-
+marked full-resolution test below reproduces the 512x512 claim in-repo.
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -17,49 +29,61 @@ from oracle import oracle_available, oracle_render, scene_text
 
 pytestmark = pytest.mark.skipif(not oracle_available(), reason="reference not mounted")
 
+# (scene, resolution) — resolutions chosen so the O(pixels x triangles)
+# oracle and the virtual-CPU XLA render both stay fast; island_smooth is the
+# reference's own octree stress scene (gpu/bench.cu:14)
+CORPUS = [
+    ("triangle", 64),
+    ("triangle-ambient", 64),
+    ("triangle-left-ambient", 64),
+    ("cube", 64),
+    ("cube-ambient", 64),
+    ("point-light", 64),
+    ("dir-light-shadows", 64),
+    ("lighthouse", 48),
+    ("susan", 48),
+    ("spheres", 32),          # Nr 0.85/0.45 mirrors, 6 lights, 4812 tris
+    ("car-on-road", 32),      # Nr=1.0 (unbounded reference recursion)
+    ("sphere-spec", 32),
+    ("car", 32),
+    ("dark-night", 32),       # 29 objects, 1457 triangles
+    ("island_smooth", 32),    # 50 objects — octree stress scene
+    ("secret", 24),
+    ("secret2", 24),
+    ("sphere-spec_smooth", 32),
+    ("sphere-specular", 24),
+    ("susans_smooth", 32),
+]
 
-def run_match(name, w, h, **cmp_kwargs):
+
+def run_match(name, w, h, backend="jnp", **cmp_kwargs):
     golden = oracle_render(name, w, h)
     scene = parse_scene_text(scene_text(name, w, h))
-    img = render_scene(scene, RenderConfig(mode="cpu", quantize="match"))
+    img = render_scene(
+        scene, RenderConfig(mode="cpu", quantize="match", backend=backend)
+    )
     ours = np.trunc(img).astype(np.uint8)
-    return assert_images_close(ours, golden, context=name, **cmp_kwargs)
+    return assert_images_close(ours, golden, context=f"{name}-{backend}",
+                               **cmp_kwargs)
 
 
-def test_triangle_64():
-    run_match("triangle", 64, 64)
+@pytest.mark.parametrize("name,res", CORPUS, ids=[c[0] for c in CORPUS])
+def test_corpus_jnp(name, res):
+    run_match(name, res, res)
 
 
-def test_triangle_ambient_64():
-    run_match("triangle-ambient", 64, 64)
+@pytest.mark.parametrize("backend", ["pallas", "mxu"])
+@pytest.mark.parametrize("name,res", CORPUS, ids=[c[0] for c in CORPUS])
+def test_corpus_kernel_backends(name, res, backend):
+    """Every corpus scene through the Pallas/MXU kernels vs the C oracle.
 
-
-def test_triangle_left_ambient_64():
-    run_match("triangle-left-ambient", 64, 64)
-
-
-def test_cube_64():
-    run_match("cube", 64, 64)
-
-
-def test_cube_ambient_64():
-    run_match("cube-ambient", 64, 64)
-
-
-def test_point_light_64():
-    run_match("point-light", 64, 64)
-
-
-def test_dir_light_shadows_64():
-    run_match("dir-light-shadows", 64, 64)
-
-
-def test_lighthouse_48():
-    run_match("lighthouse", 48, 48)
-
-
-def test_susan_48():
-    run_match("susan", 48, 48)
+    Half resolution (min 24px): the Pallas interpreter executes each grid
+    cell sequentially on CPU, so full-res corpus sweeps would dominate the
+    suite. Winner flips on geometry edges (separately-compiled f32 programs)
+    are absorbed by the edge-aware comparator exactly as for jnp.
+    """
+    r = max(24, res // 2)
+    run_match(name, r, r, backend=backend)
 
 
 def test_smooth_close_to_oracle():
@@ -73,60 +97,22 @@ def test_smooth_close_to_oracle():
     assert_images_close(ours, golden, tol=2, context="triangle-smooth")
 
 
-def test_spheres_reflective_32():
-    """spheres.svati: Nr 0.85/0.45 mirrors, 6 lights, 4812 triangles."""
-    run_match("spheres", 32, 32)
-
-
-def test_car_on_road_32():
-    """car-on-road.svati: Nr=1.0 material (unbounded reference recursion)."""
-    run_match("car-on-road", 32, 32)
-
-
-def test_sphere_spec_32():
-    run_match("sphere-spec", 32, 32)
-
-
-# ---- remaining corpus: with these, all 20 tests/*.svati scenes are covered
-
-
-def test_car_32():
-    run_match("car", 32, 32)
-
-
-def test_dark_night_32():
-    """29 objects, 1457 triangles."""
-    run_match("dark-night", 32, 32)
-
-
-def test_island_smooth_32():
-    """50 objects — the reference's octree stress scene (gpu/bench.cu:14);
-    exercised through the octree partitioning path here."""
-    golden = oracle_render("island_smooth", 32, 32)
-    scene = parse_scene_text(scene_text("island_smooth", 32, 32))
+@pytest.mark.slow
+@pytest.mark.tpu
+@pytest.mark.skipif(not os.environ.get("RGT_TEST_TPU"),
+                    reason="full-res render needs the real TPU chip "
+                           "(RGT_TEST_TPU=1)")
+def test_susan_512_full_resolution():
+    """The advertised claim, reproducible in-repo: susan.svati at its native
+    512x512 through the flagship TPU kernel matches the C oracle under the
+    edge-aware policy (>=99.9% of pixels within ±1, every larger diff on a
+    geometry/shadow edge)."""
+    golden = oracle_render("susan", 512, 512)
+    scene = parse_scene_text(scene_text("susan", 512, 512))
     img = render_scene(
-        scene,
-        RenderConfig(mode="cpu", quantize="match", partitioning="octree"),
+        scene, RenderConfig(mode="cpu", quantize="match", backend="pallas")
     )
-    assert_images_close(np.trunc(img).astype(np.uint8), golden,
-                        context="island_smooth-octree")
-
-
-def test_secret_24():
-    run_match("secret", 24, 24)
-
-
-def test_secret2_24():
-    run_match("secret2", 24, 24)
-
-
-def test_sphere_spec_smooth_32():
-    run_match("sphere-spec_smooth", 32, 32)
-
-
-def test_sphere_specular_24():
-    run_match("sphere-specular", 24, 24)
-
-
-def test_susans_smooth_32():
-    run_match("susans_smooth", 32, 32)
+    ours = np.trunc(img).astype(np.uint8)
+    stats = assert_images_close(ours, golden, context="susan-512-pallas")
+    if stats is not None:
+        print("susan 512x512:", stats)
