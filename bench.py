@@ -12,7 +12,10 @@ Prints ONE JSON line:
   publishes no numbers (BASELINE.md) so its own renderer is the baseline.
 
 Env knobs: RGT_BENCH_SCENE, RGT_BENCH_RES (render at a reduced resolution,
-rays/s is resolution-independent to first order), RGT_BENCH_REPEATS.
+rays/s is resolution-independent to first order), RGT_BENCH_REPEATS,
+RGT_BENCH_MODE (cpu | gpu — the reference's two pipelines; gpu renders at
+aliasing(3)x resolution, 9 rays/pixel, box downscale), RGT_BENCH_BACKEND
+(pallas | mxu | jnp), RGT_BENCH_CHUNK.
 """
 
 from __future__ import annotations
@@ -94,6 +97,7 @@ def main():
     from raytracing_gpu_tpu.ops import camera as camera_ops
     from raytracing_gpu_tpu.render import (
         _render_cpu_mode,
+        _render_gpu_mode,
         required_depth,
     )
 
@@ -109,19 +113,27 @@ def main():
         src = re.sub(r"camera \d+ \d+", f"camera {res} {res}", src, count=1)
     scene_host = parse_scene_text(src)
     W, H = scene_host.camera.width, scene_host.camera.height
-    rays = W * H * 4
-    log(f"[bench] {scene_name}.svati {W}x{H} on {platform} "
-        f"({scene_host.n_triangles} triangles, {rays:,} primary rays, "
-        f"backend={os.environ.get('RGT_BENCH_BACKEND', 'pallas')})")
-
+    # mode=cpu (default): 2x2 supersampling -> 4 rays/pixel. mode=gpu: the
+    # reference's GPU pipeline renders at aliasing(3)x resolution, one ray
+    # per hi-res pixel -> 9 rays/pixel (gpu/rt.cpp:67-79).
+    mode = os.environ.get("RGT_BENCH_MODE", "cpu")
     backend = os.environ.get("RGT_BENCH_BACKEND", "pallas")
     cfg = RenderConfig(
-        mode="cpu", quantize="match", backend=backend,
+        mode=mode, quantize="match", backend=backend,
         ray_chunk=int(os.environ.get("RGT_BENCH_CHUNK", "65536")),
     )
+    rays = W * H * (cfg.aliasing ** 2 if mode == "gpu" else 4)
+    log(f"[bench] {scene_name}.svati {W}x{H} mode={mode} on {platform} "
+        f"({scene_host.n_triangles} triangles, {rays:,} primary rays, "
+        f"backend={backend})")
+
     scene = scene_to_device(scene_host)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.cpu_max_depth)
+    if mode == "gpu":
+        _render = lambda: _render_gpu_mode(scene, cfg, W, H)
+    else:
+        _render = lambda: _render_cpu_mode(scene, cfg, depth, W, H)
 
     def hard_sync(x):
         """Host read of one element — the only sync the axon tunnel cannot
@@ -136,10 +148,13 @@ def main():
     # would trigger the execute-path compile through the tunnel instead
     # (250-580s observed). See utils/compile_cache.py.
     t0 = time.perf_counter()
-    _render_cpu_mode.lower(scene, cfg, depth, W, H).compile()
+    if mode == "gpu":
+        _render_gpu_mode.lower(scene, cfg, W, H).compile()
+    else:
+        _render_cpu_mode.lower(scene, cfg, depth, W, H).compile()
     t1 = time.perf_counter()
     log(f"[bench] AOT compile (or cache hit): {t1 - t0:.1f}s")
-    img = _render_cpu_mode(scene, cfg, depth, W, H)
+    img = _render()
     hard_sync(img)
     log(f"[bench] compile+first render: {time.perf_counter() - t0:.1f}s")
 
@@ -148,7 +163,7 @@ def main():
     lat = []
     for _ in range(3):
         t0 = time.perf_counter()
-        img = _render_cpu_mode(scene, cfg, depth, W, H)
+        img = _render()
         hard_sync(img)
         lat.append(time.perf_counter() - t0)
     log(f"[bench] single-frame latency (incl. 1 sync RTT): "
@@ -162,7 +177,7 @@ def main():
     n = max(repeats, 30)
     t0 = time.perf_counter()
     for _ in range(n):
-        img = _render_cpu_mode(scene, cfg, depth, W, H)
+        img = _render()
     hard_sync(img)
     t_total = time.perf_counter() - t0
     rps = rays * n / t_total
@@ -172,7 +187,7 @@ def main():
     base = oracle_rays_per_sec(scene_name)
     vs = rps / base if base else 0.0
     print(json.dumps({
-        "metric": f"primary rays/sec/chip, {scene_name}.svati {W}x{H} ({platform}, {cfg.backend})",
+        "metric": f"primary rays/sec/chip, {scene_name}.svati {W}x{H} ({platform}, {cfg.backend}, mode={mode})",
         "value": round(rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),

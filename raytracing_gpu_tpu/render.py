@@ -133,22 +133,27 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
 
 def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
-                   scene_axis: str | None = None, pack=None):
+                   scene_axis: str | None = None, pack=None,
+                   unroll: bool = False):
     """GPU-reference iterative bounce loop for a batch of rays.
 
     `do { tmp = trace(); color += tmp*nr_acc; nr_acc *= hit.nr } while
     (nr_acc > 0.01 && MAX_BOUNCE-- > 0)` (gpu/raytracer.cu:107-122): entry is
     unconditional for the first bounce, accumulation is shallow-first
-    saturating add. Statically unrolled (max_bounce+1 iterations), so this
-    path is reverse-mode differentiable in both quantize modes.
+    saturating add.
+
+    Default is a `lax.while_loop` that exits once every ray in the batch is
+    dead — the batch analog of the reference's per-thread `nr_acc > 0.01`
+    exit. On non-mirror scenes this runs 1 bounce instead of max_bounce+1
+    (measured 14x faster and ~14x smaller XLA program on susan 512x512).
+    Dead iterations would contribute exactly zero (masked accumulate), so
+    the images are identical. unroll=True statically unrolls max_bounce+1
+    iterations instead (reverse-mode differentiable; while_loop is not).
     """
     cops = ColorOps(cfg.quantize)
     R = origins.shape[0]
-    o, d = origins, dirs
-    color = cops.zeros((R,))
-    nr_acc = jnp.ones((R,), jnp.float32)
-    alive = jnp.ones((R,), bool)
-    for _ in range(cfg.max_bounce + 1):
+
+    def step(o, d, nr_acc, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
                       scene_axis, cfg.backend, pack, cfg.partitioning)
         use = alive & hit.mask
@@ -162,6 +167,26 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
         nr = jnp.where(use, _winner_nr(scene, hit), 0.0)
         nr_acc = nr_acc * nr
         alive = use & (nr_acc > cfg.reflect_cutoff)
+        return o, d, nr_acc, alive, color
+
+    init = (origins, dirs, jnp.ones((R,), jnp.float32),
+            jnp.ones((R,), bool), cops.zeros((R,)))
+    if unroll:
+        state = init
+        for _ in range(cfg.max_bounce + 1):
+            state = step(*state)
+        return state[4]
+
+    def cond(s):
+        b, (o, d, nr_acc, alive, color) = s
+        return (b < cfg.max_bounce + 1) & jnp.any(alive)
+
+    def body(s):
+        b, state = s
+        return b + 1, step(*state)
+
+    _, (_, _, _, _, color) = jax.lax.while_loop(cond, body,
+                                                (jnp.int32(0), init))
     return color
 
 
@@ -189,7 +214,7 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
         )
     if gpu_semantics:
         f = lambda od: trace_rays_gpu(scene, od[0], od[1], cfg, scene_axis,
-                                      pack)
+                                      pack, unroll)
     else:
         f = lambda od: trace_rays(scene, od[0], od[1], cfg, depth, unroll,
                                   scene_axis, pack)
@@ -229,7 +254,8 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
         coords = coord_fn(r)
         origins, dirs = camera_ops.make_rays(u, v, C, pos, coords)
         if gpu_semantics:
-            return trace_rays_gpu(scene, origins, dirs, cfg, None, pack)
+            return trace_rays_gpu(scene, origins, dirs, cfg, None, pack,
+                                  unroll)
         return trace_rays(scene, origins, dirs, cfg, depth, unroll, None,
                           pack)
 
@@ -282,7 +308,8 @@ def _render_gpu_mode(scene: Scene, cfg: RenderConfig, width: int, height: int):
         scene, camera=_dc.replace(scene.camera, width=hw, height=hh)
     )
     coord_fn = functools.partial(camera_ops.gpu_pixel_coords_traced, hw, hh)
-    colors = _trace_image(scene_hi, cfg, 0, hw * hh, coord_fn,
+    unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
+    colors = _trace_image(scene_hi, cfg, 0, hw * hh, coord_fn, unroll,
                           gpu_semantics=True)
     return assemble_gpu_image(colors, cfg, width, height)
 
