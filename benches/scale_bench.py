@@ -14,6 +14,12 @@ measures the Pallas collide pass per partitioning mode:
 
 Usage:  python benches/scale_bench.py            (on the TPU host)
         RGT_SCALE_RAYS=65536 RGT_SCALE_REPS=10 python benches/scale_bench.py
+        RGT_SCALE_BIG=1  adds the 246k/492k/983k tiers
+        RGT_SCALE_E2E=1  also times FULL renders (primary + shadow passes +
+                         bounce loop + shading, the whole render_scene
+                         program) per tier and partitioning — the
+                         whole-frame scaling story the octree exists for
+                         (gpu/hit.cu:120-169), not just the collide pass
 
 Prints one JSON line per (scene, mode) measurement, then a summary table.
 """
@@ -45,6 +51,9 @@ def main() -> None:
     from raytracing_gpu_tpu.ops import camera as camera_ops
     from raytracing_gpu_tpu.ops import pallas_intersect as pk
     from raytracing_gpu_tpu.ops.intersect import collide
+    from raytracing_gpu_tpu.utils.compile_cache import begin_device_claim
+
+    claim = begin_device_claim()  # overlap the pool's claim with compiles
 
     R = int(os.environ.get("RGT_SCALE_RAYS", "65536"))
     reps = int(os.environ.get("RGT_SCALE_REPS", "10"))
@@ -103,6 +112,43 @@ def main() -> None:
                 "partitioning": mode, "ms_per_collide": round(ms, 3),
                 "rays": R,
             }), flush=True)
+
+        if os.environ.get("RGT_SCALE_E2E"):
+            # FULL frame: primary collide + per-light shadow passes + bounce
+            # loop + shading + image assembly — render_scene's exact device
+            # program, AOT-compiled and dispatched directly
+            from raytracing_gpu_tpu.config import RenderConfig
+            from raytracing_gpu_tpu.render import (
+                _render_cpu_mode,
+                required_depth,
+            )
+
+            for mode in ("none", "octree"):
+                cfg = RenderConfig(mode="cpu", quantize="match",
+                                   backend="pallas", partitioning=mode,
+                                   ray_chunk=R)
+                max_nr = float(np.max(np.asarray(scene.materials.nr)))
+                depth = required_depth(max_nr, cfg.reflect_cutoff,
+                                       cfg.cpu_max_depth)
+                tc = time.perf_counter()
+                compiled = _render_cpu_mode.lower(
+                    dev, cfg, depth, res, res).compile()
+                t_compile = time.perf_counter() - tc
+                img = compiled(dev)
+                hard_sync(img)
+                t0 = time.perf_counter()
+                for _ in range(max(3, reps // 2)):
+                    img = compiled(dev)
+                hard_sync(img)
+                ms = (time.perf_counter() - t0) / max(3, reps // 2) * 1e3
+                rows.append((label, T, "e2e-" + mode, ms))
+                print(json.dumps({
+                    "bench": "render_scale_e2e", "scene": label,
+                    "triangles": T, "partitioning": mode,
+                    "ms_per_frame": round(ms, 3), "res": res,
+                    "rays": res * res * 4,
+                    "compile_s": round(t_compile, 1),
+                }), flush=True)
 
     print(f"\n{'scene':>8} {'tris':>8} {'brute ms':>10} {'octree ms':>10} "
           f"{'speedup':>8}", file=sys.stderr)

@@ -174,7 +174,7 @@ def bench_scene(name: str, repeats: int):
     )
     from raytracing_gpu_tpu.partition.apply import with_accel
     from raytracing_gpu_tpu.render import _render_cpu_mode, required_depth
-    from raytracing_gpu_tpu.utils.compile_cache import aot_prewarm
+    from raytracing_gpu_tpu.utils.compile_cache import aot_compiled
 
     dcfg = RenderConfig(mode="cpu", quantize="match", backend=backend)
     dsc = scene_to_device(sh)
@@ -184,10 +184,18 @@ def bench_scene(name: str, repeats: int):
     ddepth = required_depth(
         float(np.max(np.asarray(sh.materials.nr))), dcfg.reflect_cutoff,
         dcfg.cpu_max_depth)
-    aot_prewarm(_render_cpu_mode, ("stage", name, dcfg, ddepth),
-                dsc, dcfg, ddepth, 64, 64)
+    import jax as _jax
+
+    # key includes the geometry shapes tuple (mirrors render_scene's key)
+    # so a same-named scene with different shapes can't alias the prewarm
+    dshapes = tuple(_jax.tree.map(lambda a: a.shape, _jax.tree.leaves(dsc)))
+    _compiled = aot_compiled(_render_cpu_mode,
+                             ("stage", name, dcfg, ddepth, dshapes),
+                             dsc, dcfg, ddepth, 64, 64)
+    _call = ((lambda: _compiled(dsc)) if _compiled is not None
+             else (lambda: _render_cpu_mode(dsc, dcfg, ddepth, 64, 64)))
     rows["render_device_64px"] = timeit(
-        lambda: _render_cpu_mode(dsc, dcfg, ddepth, 64, 64),
+        _call,
         max(2, repeats // 2), inner=10,
     )
     # gpu-mode: aliasing=3 -> one ray per hi-res pixel, 9x the rays, box

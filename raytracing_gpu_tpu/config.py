@@ -61,6 +61,22 @@ class RenderConfig:
         benchmarks use; small renders are unaffected (the chunk clamps to R).
       pad_triangles: pad triangle count to a multiple of this (TPU lane dim).
       pad_objects: pad object count to a multiple of this.
+      unroll: bounce-loop strategy. "auto" (default) statically unrolls when
+        quantize="smooth" (reverse-mode AD needs a static loop;
+        lax.while_loop is not reverse-differentiable) and uses the
+        early-exiting lax.while_loop otherwise. "while" / "static" force one
+        strategy — e.g. unroll="static" makes a quantize="match" render
+        differentiable, at the compile/memory cost of the full unroll. The
+        two strategies produce identical images (dead iterations accumulate
+        exactly zero; parity-tested on a mirror scene in
+        tests/test_gpu_mode.py). Caveat: a match-mode GPU-pipeline render is
+        grad-computable with unroll="static" but its gradient is exactly
+        zero — the downscale's uint8 trunc (gpu/raytracer.cu:68-80) has zero
+        derivative; use quantize="smooth" (or mode="cpu") for real gradients.
+      remat: apply jax.checkpoint to each statically-unrolled bounce step so
+        backward-pass memory stays O(1) in depth instead of O(depth)
+        (activations are recomputed bounce-by-bounce on the backward sweep).
+        No effect on the while_loop path or on forward-only renders.
     """
 
     mode: str = "cpu"
@@ -77,6 +93,15 @@ class RenderConfig:
     ray_chunk: int = 65536
     pad_triangles: int = 128
     pad_objects: int = 8
+    unroll: str = "auto"
+    remat: bool = True
+
+    def resolve_unroll(self) -> bool:
+        """True when the bounce loops should statically unroll (the
+        reverse-differentiable strategy); see the `unroll` attribute."""
+        if self.unroll == "auto":
+            return self.quantize == "smooth"
+        return self.unroll == "static"
 
     def __post_init__(self):
         if self.mode not in ("cpu", "gpu"):
@@ -87,3 +112,5 @@ class RenderConfig:
             raise ValueError(f"bad partitioning {self.partitioning!r}")
         if self.backend not in ("jnp", "pallas", "mxu"):
             raise ValueError(f"bad backend {self.backend!r}")
+        if self.unroll not in ("auto", "while", "static"):
+            raise ValueError(f"bad unroll {self.unroll!r}")

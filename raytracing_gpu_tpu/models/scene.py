@@ -114,11 +114,12 @@ class Geometry:
     and file triangles appear in reverse order — so intermediate
     floating-point values match the oracle exactly.
 
-    obj_aabb / obj_node_box: optional acceleration data filled by
+    obj_aabb / octree: optional acceleration data filled by
     `partition.apply.with_accel` (None = brute force, the reference's
-    PARTITIONING_NONE). obj_aabb (O,2,3) per-object bounds; obj_node_box
-    (O,2,3) the grid-cell box of the object's octree node (octree mode
-    pre-test, gpu/hit.cu:120-169).
+    PARTITIONING_NONE). obj_aabb (O,2,3) per-object bounds; octree a
+    partition.octree.NodeCull pytree (node boxes + parent links + object->
+    node rows) that the jnp cull walks top-down per ray — the data-parallel
+    recast of the reference's stackful DFS (gpu/hit.cu:120-169).
     """
 
     vertices: Any
@@ -126,7 +127,7 @@ class Geometry:
     tri_obj: Any
     valid: Any
     obj_aabb: Any = None
-    obj_node_box: Any = None
+    octree: Any = None
 
     @property
     def padded_count(self) -> int:

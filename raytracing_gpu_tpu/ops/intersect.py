@@ -64,19 +64,21 @@ jax.tree_util.register_pytree_node(
 def _cull_mask(origins, dirs, geometry):
     """(R,T) bool pair mask from the partitioning pre-tests, or None.
 
-    AABB mode: slab test per object (gpu/hit.cu:96-101). Octree mode adds
-    the object's node-cell box (the collapsed form of the DFS at
-    gpu/hit.cu:120-169 — node boxes nest, so "every ancestor hit" is implied
-    by "own node box hit"). Conservative: culled objects cannot contain any
-    accepted hit.
+    AABB mode: slab test per object (gpu/hit.cu:96-101). Octree mode adds a
+    top-down walk of the built node graph — breadth-first reachability
+    through the parent links, the data-parallel recast of the stackful DFS
+    at gpu/hit.cu:120-169 (see partition.octree.octree_object_reach).
+    Conservative: culled objects cannot contain any accepted hit.
     """
     if geometry.obj_aabb is None:
         return None
     from raytracing_gpu_tpu.partition.aabb import hit_aabb
 
     ohit = hit_aabb(origins, dirs, geometry.obj_aabb)  # (R,O)
-    if geometry.obj_node_box is not None:
-        ohit &= hit_aabb(origins, dirs, geometry.obj_node_box)
+    if geometry.octree is not None:
+        from raytracing_gpu_tpu.partition.octree import octree_object_reach
+
+        ohit &= octree_object_reach(origins, dirs, geometry.octree)
     return ohit[:, geometry.tri_obj]  # (R,T)
 
 

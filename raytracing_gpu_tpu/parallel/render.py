@@ -58,12 +58,13 @@ def check_shardable(scene: Scene, mesh) -> None:
 def _build_tile_tracer(mesh, cfg: RenderConfig, depth: int, gpu_semantics: bool,
                        accel_sig: tuple):
     scene_axis = SCENE if mesh.shape[SCENE] > 1 else None
-    unroll = cfg.quantize == "smooth"
+    unroll = cfg.resolve_unroll()
     has_aabb, has_node = accel_sig
     geo_spec = Geometry(
         vertices=P(SCENE), normals=P(SCENE), tri_obj=P(SCENE), valid=P(SCENE),
         obj_aabb=P() if has_aabb else None,
-        obj_node_box=P() if has_node else None,
+        # P() is a pytree-prefix: the whole NodeCull subtree is replicated
+        octree=P() if has_node else None,
     )
 
     def tile_fn(geo, rest, coords):
@@ -93,7 +94,7 @@ def _render_sharded(geo, rest, coords, mesh, cfg, depth, width, height):
     pad = (-R) % n_tiles
     if pad:
         coords = jnp.concatenate([coords, jnp.zeros((pad, 2), coords.dtype)])
-    accel_sig = (geo.obj_aabb is not None, geo.obj_node_box is not None)
+    accel_sig = (geo.obj_aabb is not None, geo.octree is not None)
     colors = _build_tile_tracer(mesh, cfg, depth, gpu, accel_sig)(geo, rest, coords)[:R]
     if gpu:
         return assemble_gpu_image(colors, cfg, width, height)

@@ -145,7 +145,7 @@ def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
                     geometry=dataclasses.replace(
                         scene.geometry,
                         obj_aabb=acc.geometry.obj_aabb,
-                        obj_node_box=acc.geometry.obj_node_box,
+                        octree=acc.geometry.octree,
                     ),
                 )
             u, v, C = camera_ops.camera_basis(scene.camera)
@@ -208,7 +208,7 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
         # the triangle arrays and would go stale as vertices move); the
         # per-step rebuild inside device_fn replaces it
         fixed_geo = dataclasses.replace(fixed_geo, obj_aabb=None,
-                                        obj_node_box=None)
+                                        octree=None)
         loss, grads = _loss_and_grads_fn(mesh, cfg, depth, n_pixels)(
             state.params, fixed_geo, fixed_rest, coords, target
         )

@@ -13,7 +13,11 @@ from raytracing_gpu_tpu.partition.aabb import (
     compute_object_aabbs,
     compute_scene_aabb,
 )
-from raytracing_gpu_tpu.partition.octree import Octree, build_octree
+from raytracing_gpu_tpu.partition.octree import (
+    Octree,
+    build_octree,
+    node_cull_tables,
+)
 
 
 def with_accel(scene: Scene, partitioning: str):
@@ -50,10 +54,14 @@ def with_accel(scene: Scene, partitioning: str):
         raise ValueError(f"unknown partitioning {partitioning!r}")
     scene_box = compute_scene_aabb(aabbs, obj_valid)
     tree = build_octree(aabbs, scene_box, obj_valid)
-    node_box = tree.node_box[jnp.clip(tree.obj_node, 0, None)]  # (O,2,3)
-    # objects with no node (padding) keep an empty box
-    node_box = jnp.where((tree.obj_node >= 0)[:, None, None], node_box, aabbs)
+    # attach the node graph itself: the jnp cull WALKS it per ray
+    # (partition.octree.octree_object_reach), replacing the earlier
+    # collapsed per-object node-box AND — same conservative mask, but the
+    # traversal now consumes the built parent links at render time like
+    # the reference's DFS consumes its pointer graph
     return dataclasses.replace(
         scene,
-        geometry=dataclasses.replace(geo, obj_aabb=aabbs, obj_node_box=node_box),
+        geometry=dataclasses.replace(
+            geo, obj_aabb=aabbs, octree=node_cull_tables(tree)
+        ),
     ), tree

@@ -76,6 +76,74 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclasses.dataclass
+class NodeCull:
+    """The node-graph slice the render hot path traverses (attached to
+    Geometry.octree by partition.apply.with_accel). This is the production
+    consumer of the octree link tables: ops.intersect's jnp cull walks it
+    top-down per ray (octree_object_reach below) the way the reference's
+    DFS walks its pointer graph (gpu/hit.cu:120-169)."""
+
+    node_box: Any     # (N,2,3) grid-cell AABBs
+    node_parent: Any  # (N,) parent row, -1 at roots
+    node_level: Any   # (N,) depth, 0 = root
+    node_valid: Any   # (N,) bool
+    obj_node: Any     # (O,) original object id -> owning node row
+
+
+jax.tree_util.register_pytree_node(
+    NodeCull,
+    lambda t: (tuple(getattr(t, f.name) for f in dataclasses.fields(NodeCull)), None),
+    lambda _, c: NodeCull(*c),
+)
+
+
+def node_cull_tables(tree: "Octree") -> NodeCull:
+    """Project a built Octree onto the fields the traversal consumes."""
+    return NodeCull(
+        node_box=tree.node_box,
+        node_parent=tree.node_parent,
+        node_level=tree.node_level,
+        node_valid=tree.node_valid,
+        obj_node=tree.obj_node,
+    )
+
+
+def octree_object_reach(origins, dirs, nc: NodeCull):
+    """(R,O) bool — object reachable by the ray through the node graph.
+
+    The TPU-uniform recast of the reference's stackful DFS (gpu/hit.cu:
+    120-169): instead of a 64-slot per-thread stack, reachability is a
+    breadth-first frontier mask propagated top-down through the parent
+    links — `reached[n] = hit_aabb(node n) AND reached[parent[n]]`, roots
+    seeded by their own slab test. The parent-gather is the XLA transpose
+    of pushing children onto the DFS stack (octree.cu's children[8] links
+    record the same edges parent-ward); after MAX_DEPTH sweeps every level
+    is settled (propagation is monotone False->True, one level per sweep).
+
+    An object is then reachable iff its owning node is (node cells nest, so
+    this implies every ancestor box was hit — the exact DFS descent
+    condition). Conservative: a culled object cannot contain an accepted
+    hit, so renders are bit-identical with culling on or off
+    (tests/test_partition.py).
+    """
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb
+
+    nhit = hit_aabb(origins, dirs, nc.node_box) & nc.node_valid[None, :]  # (R,N)
+    is_root = (nc.node_level == 0) & nc.node_valid
+    has_parent = nc.node_parent >= 0
+    pidx = jnp.clip(nc.node_parent, 0, None)
+    reached = nhit & is_root[None, :]
+    for _ in range(MAX_DEPTH):
+        parent_reached = jnp.take(reached, pidx, axis=1)  # (R,N)
+        reached = jnp.where(is_root[None, :], reached,
+                            nhit & parent_reached & has_parent[None, :])
+    # padding objects own no node; leave them uncullled (their triangles
+    # are already invalid) so the mask stays conservative
+    oreach = jnp.take(reached, jnp.clip(nc.obj_node, 0, None), axis=1)
+    return oreach | (nc.obj_node < 0)[None, :]
+
+
 def _bitlength8(x):
     """Position of highest set bit of an 8-bit value (0 for x==0)."""
     bl = jnp.zeros_like(x)

@@ -83,7 +83,8 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
     longest surviving path in the batch.
 
     unroll=True uses a statically unrolled loop instead (reverse-mode
-    differentiable; lax.while_loop is not).
+    differentiable; lax.while_loop is not), with each bounce step
+    jax.checkpoint-ed when cfg.remat so backward memory is O(1) in depth.
     """
     cops = ColorOps(cfg.quantize)
     R = origins.shape[0]
@@ -115,9 +116,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
         cops.zeros((R,)),
     )
     if unroll:
+        fstep = jax.checkpoint(step) if cfg.remat else step
         state = init
         for _ in range(depth):
-            state = step(*state)
+            state = fstep(*state)
         return state[4]
 
     def cond(s):
@@ -144,11 +146,14 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
 
     Default is a `lax.while_loop` that exits once every ray in the batch is
     dead — the batch analog of the reference's per-thread `nr_acc > 0.01`
-    exit. On non-mirror scenes this runs 1 bounce instead of max_bounce+1
-    (measured 14x faster and ~14x smaller XLA program on susan 512x512).
-    Dead iterations would contribute exactly zero (masked accumulate), so
-    the images are identical. unroll=True statically unrolls max_bounce+1
-    iterations instead (reverse-mode differentiable; while_loop is not).
+    exit. On non-mirror scenes this runs 1 bounce instead of max_bounce+1:
+    measured 4.7x faster end-to-end on susan 512x512 (182 -> 38.9 ms/frame,
+    BASELINE.md) with a ~11x smaller traced program (1 step vs 11). Dead
+    iterations would contribute exactly zero (masked accumulate), so the
+    images are identical — asserted exactly by the unroll-vs-while parity
+    test on a mirror scene (tests/test_render.py). unroll=True statically
+    unrolls max_bounce+1 iterations instead (reverse-mode differentiable;
+    while_loop is not), each step jax.checkpoint-ed when cfg.remat.
     """
     cops = ColorOps(cfg.quantize)
     R = origins.shape[0]
@@ -172,9 +177,10 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
     init = (origins, dirs, jnp.ones((R,), jnp.float32),
             jnp.ones((R,), bool), cops.zeros((R,)))
     if unroll:
+        fstep = jax.checkpoint(step) if cfg.remat else step
         state = init
         for _ in range(cfg.max_bounce + 1):
-            state = step(*state)
+            state = fstep(*state)
         return state[4]
 
     def cond(s):
@@ -267,7 +273,7 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
 def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, height: int):
     """CPU-reference pipeline: 2x2 supersampling, 0.25 weights, clamp-order
     accumulation (cpu/raytracer.c:50-70)."""
-    unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
+    unroll = cfg.resolve_unroll()  # static unroll = reverse-mode diff path
     coord_fn = functools.partial(
         camera_ops.cpu_subpixel_coords_traced, width, height)
     colors = _trace_image(scene, cfg, depth, width * height * 4, coord_fn,
@@ -308,7 +314,7 @@ def _render_gpu_mode(scene: Scene, cfg: RenderConfig, width: int, height: int):
         scene, camera=_dc.replace(scene.camera, width=hw, height=hh)
     )
     coord_fn = functools.partial(camera_ops.gpu_pixel_coords_traced, hw, hh)
-    unroll = cfg.quantize == "smooth"  # reverse-mode differentiable path
+    unroll = cfg.resolve_unroll()  # static unroll = reverse-mode diff path
     colors = _trace_image(scene_hi, cfg, 0, hw * hh, coord_fn, unroll,
                           gpu_semantics=True)
     return assemble_gpu_image(colors, cfg, width, height)
@@ -348,23 +354,26 @@ def render_scene(scene_host: Scene, cfg: RenderConfig = RenderConfig()) -> np.nd
 
         scene, _ = with_accel(scene, cfg.partitioning)
     max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
-    from raytracing_gpu_tpu.utils.compile_cache import aot_prewarm
+    from raytracing_gpu_tpu.utils.compile_cache import aot_compiled
 
     shapes = tuple(jax.tree.map(lambda a: a.shape, jax.tree.leaves(scene)))
     if cfg.mode == "cpu":
         cap = cfg.diff_max_depth if cfg.quantize == "smooth" else cfg.cpu_max_depth
         depth = required_depth(max_nr, cfg.reflect_cutoff, cap)
-        # on TPU with a persistent cache: terminal-side AOT compile (~13s)
-        # instead of the minutes-long execute-path compile (see
-        # utils/compile_cache.py)
-        aot_prewarm(_render_cpu_mode, ("cpu", cfg, depth, width, height,
-                                       shapes),
-                    scene, cfg, depth, width, height)
-        img = _render_cpu_mode(scene, cfg, depth, width, height)
+        # on TPU: terminal-side AOT compile (~13s) and dispatch the compiled
+        # executable directly — re-entering the jitted call risked the
+        # minutes-long execute-path recompile (see utils/compile_cache.py)
+        compiled = aot_compiled(_render_cpu_mode,
+                                ("cpu", cfg, depth, width, height, shapes),
+                                scene, cfg, depth, width, height)
+        img = (compiled(scene) if compiled is not None
+               else _render_cpu_mode(scene, cfg, depth, width, height))
     else:
-        aot_prewarm(_render_gpu_mode, ("gpu", cfg, width, height, shapes),
-                    scene, cfg, width, height)
-        img = _render_gpu_mode(scene, cfg, width, height)
+        compiled = aot_compiled(_render_gpu_mode,
+                                ("gpu", cfg, width, height, shapes),
+                                scene, cfg, width, height)
+        img = (compiled(scene) if compiled is not None
+               else _render_gpu_mode(scene, cfg, width, height))
     return np.asarray(img)
 
 

@@ -1,18 +1,28 @@
-"""Compile-latency control: persistent cache + AOT prewarming.
+"""Compile-latency control: persistent cache + AOT compile + direct dispatch.
 
-Two facts about this TPU environment (measured on susan.svati 512x512,
-single v5e chip through the axon tunnel):
+Cold-start anatomy in this TPU environment (single v5e chip through the
+axon tunnel), measured on susan.svati 512x512 and on a trivial
+`jnp.zeros((8,)) + 1` program (2026-08-20):
 
-- The EXECUTE-path compile (what a plain jitted call triggers on first
-  dispatch) takes minutes (250-580s observed, service-queue dependent).
-- The AOT path (`jitted.lower(...).compile()`) compiles the identical
-  program terminal-side in ~13s, and — with a persistent compilation cache
-  configured — writes an artifact the execute path then HITS, making the
-  first real dispatch ~2s.
+1. **Compile** — `jitted.lower(...).compile()` runs terminal-side
+   (PALLAS_AXON_REMOTE_COMPILE) in ~13-14s cold, ~5s on a persistent-cache
+   hit. This is program-size dependent and fully under our control.
+2. **Device claim** — the FIRST dispatch of ANY program in a fresh process
+   pays the axon pool's device-claim latency: 100-700s observed, identical
+   for a trivial one-op program and for the full renderer. It is a property
+   of the tunnel service queue, not of this framework's programs, and is
+   paid exactly once per process.
+3. **Execute-path recompile** — re-entering the *jitted* function after an
+   AOT compile was observed to recompile through the tunnel in the driver's
+   environment (612.9s in BENCH_r02) even when the persistent cache held
+   the artifact. Dispatching the AOT-compiled executable object directly
+   (`compiled(args)`) can never recompile, so `aot_compiled()` below
+   returns that executable and render_scene dispatches it.
 
-So the recipe for interactive cold starts is: enable the persistent cache,
-then AOT-prewarm each (program, shapes) before its first dispatch. This
-module packages both; render.render_scene applies them automatically on TPU.
+Recipe: enable the persistent cache, `aot_compiled()` each (program,
+shapes), dispatch the returned executable, and — in latency-sensitive
+entrypoints like bench.py — fire a trivial async dispatch FIRST so the
+device claim (2.) overlaps the compile (1.) instead of serializing after it.
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ import os
 import jax
 
 _PREWARMED: set = set()
+_COMPILED: dict = {}
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
@@ -56,3 +67,33 @@ def aot_prewarm(jitted, key, *args, **kwargs) -> bool:
     jitted.lower(*args, **kwargs).compile()
     _PREWARMED.add(key)
     return True
+
+
+def aot_compiled(jitted, key, *args, **kwargs):
+    """AOT-compile `jitted(*args, **kwargs)` once per `key` and return the
+    compiled executable. Callers dispatch it with the NON-static arguments
+    only (`compiled(scene)`), which structurally cannot trigger the
+    execute-path recompile a re-entered jitted call risks (observed 612.9s
+    through the tunnel in BENCH_r02 despite a persistent-cache hit).
+
+    Returns None off-TPU (the jitted call is the right path there: CPU
+    compiles are fast and `compiled` objects pin concrete devices)."""
+    if key in _COMPILED:
+        return _COMPILED[key]
+    if jax.default_backend() != "tpu":
+        return None
+    compiled = jitted.lower(*args, **kwargs).compile()
+    _COMPILED[key] = compiled
+    _PREWARMED.add(key)
+    return compiled
+
+
+def begin_device_claim():
+    """Fire one trivial async dispatch so the axon pool's device-claim
+    latency (100-700s observed; paid once per process, identical for any
+    program) starts NOW and overlaps subsequent host work (parsing, AOT
+    compiles, oracle builds) instead of serializing after them. Returns
+    the in-flight array; `jax.block_until_ready` it to measure the claim."""
+    import jax.numpy as jnp
+
+    return jnp.zeros((8,), jnp.float32) + 1.0

@@ -77,3 +77,84 @@ def test_gpu_mode_downscale_identity_at_aliasing_1(scene):
     img = render_scene(scene, RenderConfig(mode="gpu", aliasing=1))
     assert np.all(img == np.trunc(img))
     assert img.min() >= 0.0 and img.max() <= 255.0
+
+
+def test_unroll_vs_while_parity_on_mirror_scene():
+    """The while_loop and static-unroll bounce strategies must be EXACTLY
+    equal (dead iterations accumulate exactly zero), including on a
+    reflective scene where the loop actually runs several bounces — guards
+    step()/cond() edits from silently diverging the two paths (ADVICE r2).
+    Covers both pipelines: gpu mode (trace_rays_gpu) and cpu mode
+    (trace_rays), with and without remat on the unrolled side."""
+    scene = make_sphere_scene(width=16, height=16, n_lat=6, n_lon=9,
+                              reflective=True)
+    # depth caps keep the static unroll's compile small; 4 levels still
+    # exercises several REAL bounces on this mirror scene
+    caps = dict(cpu_max_depth=4, max_bounce=3)
+    for mode in ("gpu", "cpu"):
+        w = render_scene(scene, RenderConfig(mode=mode, quantize="match",
+                                             unroll="while", **caps))
+        for remat in (True, False):
+            s = render_scene(scene, RenderConfig(mode=mode, quantize="match",
+                                                 unroll="static", remat=remat,
+                                                 **caps))
+            if mode == "gpu":
+                # bit-exact: the downscale's uint8 trunc absorbs fusion noise
+                np.testing.assert_array_equal(
+                    w, s,
+                    err_msg=f"unroll parity broke: mode={mode} remat={remat}")
+            else:
+                # same math, but XLA fuses a while body and an unrolled
+                # chain differently -> <=2-ulp f32 reassociation (measured
+                # max 3e-5); the quantized images must still be identical
+                np.testing.assert_allclose(
+                    w, s, rtol=0, atol=1e-3,
+                    err_msg=f"unroll parity broke: mode={mode} remat={remat}")
+                np.testing.assert_array_equal(np.trunc(w), np.trunc(s))
+
+
+def test_match_mode_grad_via_static_unroll():
+    """quantize='match' defaults to the (non-reverse-differentiable)
+    while_loop; unroll='static' restores jax.grad-ability of a match-mode
+    render — the escape hatch the r2 ADVICE asked to make explicit.
+
+    Two flavors of "differentiable": in cpu mode, match-quantize grads are
+    real (clamped ops pass gradient inside [0,255]); in gpu mode the
+    downscale's uint8 trunc (gpu/raytracer.cu:68-80 semantics) has zero
+    derivative, so grad *computes* without raising but is exactly zero —
+    smooth quantize is the gradient path for gpu mode."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_gpu_tpu.models.scene import scene_to_device
+    from raytracing_gpu_tpu.render import render_image
+
+    scene = scene_to_device(
+        make_sphere_scene(width=8, height=8, n_lat=5, n_lon=8,
+                          reflective=True))
+
+    def loss(lights_rgb, cfg):
+        s = dataclasses.replace(
+            scene, lights=dataclasses.replace(scene.lights, rgb=lights_rgb))
+        return jnp.sum(render_image(s, cfg))
+
+    # while_loop path: reverse AD must raise (the documented limitation)
+    cfg_while = RenderConfig(mode="cpu", quantize="match", unroll="while")
+    with pytest.raises(Exception):
+        jax.grad(loss)(scene.lights.rgb, cfg_while)
+
+    # cpu mode + static unroll: real nonzero gradients through match clamps
+    cfg_cpu = RenderConfig(mode="cpu", quantize="match", unroll="static")
+    g = jax.grad(loss)(scene.lights.rgb, cfg_cpu)
+    assert g.shape == scene.lights.rgb.shape
+    assert bool(jnp.any(g != 0.0))
+
+    # gpu mode + static unroll: computes (no raise); identically zero
+    # through the downscale's trunc quantization
+    cfg_gpu = RenderConfig(mode="gpu", quantize="match", unroll="static",
+                           aliasing=1, max_bounce=2)
+    g = jax.grad(loss)(scene.lights.rgb, cfg_gpu)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert not bool(jnp.any(g != 0.0))

@@ -65,3 +65,25 @@ def test_two_process_allgather(tmp_path):
     ref = render_scene(scene, RenderConfig(mode="cpu", quantize="match",
                                            ray_chunk=512))
     np.testing.assert_array_equal(np.trunc(ref), np.trunc(img0))
+
+    # --- training across the process boundary (grad psum over the group):
+    # both processes observed identical losses and parameters...
+    tr0 = np.load(f"{out}.train.0.npz")
+    tr1 = np.load(f"{out}.train.1.npz")
+    np.testing.assert_array_equal(tr0["losses"], tr1["losses"])
+    np.testing.assert_array_equal(tr0["kd"], tr1["kd"])
+    assert np.all(np.isfinite(tr0["losses"]))
+    # ...the loss went down (kd recovery is working over 2 processes)...
+    assert tr0["losses"][-1] < tr0["losses"][0] * 0.95, tr0["losses"]
+
+    # ...and they match a single-process run of the SAME 4-device-mesh
+    # program (psum over in-process devices vs over the process boundary)
+    from raytracing_gpu_tpu.parallel.mesh import make_mesh
+
+    sys.path.insert(0, HERE)
+    from _multihost_worker import _train_on_mesh
+
+    losses_sp, kd_sp = _train_on_mesh(scene, make_mesh(4, 1))
+    np.testing.assert_allclose(tr0["losses"], np.asarray(losses_sp),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(tr0["kd"], kd_sp, rtol=1e-6, atol=1e-7)

@@ -171,10 +171,46 @@ def test_with_accel_octree_node_boxes_cover_objects():
     scene = scene_to_device(make_sphere_scene(width=8, height=8))
     accel_scene, tree = with_accel(scene, "octree")
     geo = accel_scene.geometry
-    assert geo.obj_aabb is not None and geo.obj_node_box is not None
+    assert geo.obj_aabb is not None and geo.octree is not None
     a = np.asarray(geo.obj_aabb)
-    nb = np.asarray(geo.obj_node_box)
     valid_obj = np.asarray(tree.obj_node) >= 0
     assert valid_obj[:3].all()
+    # each object's owning-node cell box covers its AABB
+    nb = np.asarray(geo.octree.node_box)[
+        np.clip(np.asarray(tree.obj_node), 0, None)]
     assert np.all(nb[valid_obj, 0] <= a[valid_obj, 0] + 1e-4)
     assert np.all(nb[valid_obj, 1] >= a[valid_obj, 1] - 1e-4)
+
+
+def test_octree_walk_matches_own_node_box_test():
+    """The production consumer of the node graph: per-ray top-down
+    reachability through the parent links (octree_object_reach) must agree
+    with the collapsed own-node-box slab test — node cells NEST, so
+    "own box hit" iff "every ancestor box hit" (up to slab-test f32
+    boundary ties, where the walk may only cull MORE, never less than an
+    ancestor-aware DFS would)."""
+    import jax.numpy as jnp
+
+    from raytracing_gpu_tpu.ops.camera import camera_basis, make_rays
+    from raytracing_gpu_tpu.ops.camera import cpu_subpixel_coords
+    from raytracing_gpu_tpu.partition.aabb import hit_aabb
+    from raytracing_gpu_tpu.partition.octree import octree_object_reach
+
+    s = make_sphere_scene(width=8, height=8, n_lat=8, n_lon=12)
+    scene = scene_to_device(s)
+    accel_scene, tree = with_accel(scene, "octree")
+    nc = accel_scene.geometry.octree
+    u, v, C = camera_basis(scene.camera)
+    coords = jnp.asarray(np.asarray(cpu_subpixel_coords(8, 8)).reshape(-1, 2))
+    origins, dirs = make_rays(u, v, C,
+                              jnp.asarray(scene.camera.position), coords)
+    reach = np.asarray(octree_object_reach(origins, dirs, nc))
+
+    own_box = np.asarray(tree.node_box)[
+        np.clip(np.asarray(tree.obj_node), 0, None)]
+    own_hit = np.asarray(hit_aabb(origins, dirs, jnp.asarray(own_box)))
+    valid_obj = np.asarray(tree.obj_node) >= 0
+    # exact equivalence on this scene (no degenerate boundary ties at 8x8)
+    np.testing.assert_array_equal(reach[:, valid_obj], own_hit[:, valid_obj])
+    # padding objects are never culled by the walk (conservative)
+    assert reach[:, ~valid_obj].all()

@@ -97,22 +97,40 @@ def test_smooth_close_to_oracle():
     assert_images_close(ours, golden, tol=2, context="triangle-smooth")
 
 
+# Native-resolution corpus slice for the real chip: every behavior class at
+# the resolution the scene files declare (camera line 1 of each .svati) —
+# point lights + shadows (cube), smooth normals (susan), 6 lights + Nr=0.85
+# mirrors (spheres), Nr=1.0 depth-capped mirrors (car-on-road), 29-object
+# scene (dark-night). VERDICT r2 asked for >=6 scenes so the "matches the
+# reference" claim is held at advertised resolution across the behavior
+# space, not one mesh.
+FULLRES = [
+    ("triangle", 512, 512),
+    ("cube", 512, 512),
+    ("susan", 512, 512),
+    ("spheres", 960, 540),
+    ("car-on-road", 960, 540),
+    ("dark-night", 960, 540),
+]
+
+
 @pytest.mark.slow
 @pytest.mark.tpu
 @pytest.mark.skipif(not os.environ.get("RGT_TEST_TPU"),
                     reason="full-res render needs the real TPU chip "
                            "(RGT_TEST_TPU=1)")
-def test_susan_512_full_resolution():
-    """The advertised claim, reproducible in-repo: susan.svati at its native
-    512x512 through the flagship TPU kernel matches the C oracle under the
-    edge-aware policy (>=99.9% of pixels within ±1, every larger diff on a
-    geometry/shadow edge)."""
-    golden = oracle_render("susan", 512, 512)
-    scene = parse_scene_text(scene_text("susan", 512, 512))
+@pytest.mark.parametrize("name,w,h", FULLRES, ids=[c[0] for c in FULLRES])
+def test_full_resolution_tpu(name, w, h):
+    """The advertised claim, reproducible in-repo: each scene at its native
+    resolution through the flagship TPU kernel matches the C oracle under
+    the edge-aware policy (>=99.9% of pixels within ±1 off-edge, every
+    larger diff on a geometry/shadow edge)."""
+    golden = oracle_render(name, w, h)
+    scene = parse_scene_text(scene_text(name, w, h))
     img = render_scene(
         scene, RenderConfig(mode="cpu", quantize="match", backend="pallas")
     )
     ours = np.trunc(img).astype(np.uint8)
-    stats = assert_images_close(ours, golden, context="susan-512-pallas")
+    stats = assert_images_close(ours, golden, context=f"{name}-{w}x{h}-pallas")
     if stats is not None:
-        print("susan 512x512:", stats)
+        print(f"{name} {w}x{h}:", stats)
