@@ -1,0 +1,120 @@
+"""Backward-pass-at-scale bench: full train step at realistic resolution.
+
+VERDICT r2 missing #5: the train step was only ever benched at 32x32. This
+times the complete inverse-rendering step — forward render (static-unrolled
+bounce loop), reverse-mode backward, tile-psum'd grads, adam — at 256x256
+(262,144 primary rays/step) on a reflective scene where the unroll depth is
+real, with and without jax.checkpoint on the bounce steps (RenderConfig.
+remat), and records device memory. The reference has no training at all;
+the baseline here is our own forward pass (how much does backward cost?).
+
+Usage: python benches/train_bench.py          (on the TPU host)
+       RGT_TRAIN_RES=128 RGT_TRAIN_SCENE=susan ... to vary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+REF = os.environ.get("RGT_REFERENCE", "/root/reference")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def device_mem_mb():
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    return round(peak / 1e6, 1) if peak else None
+
+
+def main() -> None:
+    import jax
+
+    cache = os.path.join(HERE, "tests", "_oracle_cache", "jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_gpu_tpu.config import RenderConfig
+    from raytracing_gpu_tpu.models.parser import parse_scene_text
+    from raytracing_gpu_tpu.models.scene import scene_to_device
+    from raytracing_gpu_tpu.ops import camera as camera_ops
+    from raytracing_gpu_tpu.parallel.mesh import make_mesh
+    from raytracing_gpu_tpu.parallel.render import split_scene
+    from raytracing_gpu_tpu.parallel.train import (
+        extract_params,
+        make_train_step,
+    )
+    from raytracing_gpu_tpu.utils.compile_cache import begin_device_claim
+
+    claim = begin_device_claim()
+
+    scene_name = os.environ.get("RGT_TRAIN_SCENE", "spheres")
+    res = int(os.environ.get("RGT_TRAIN_RES", "256"))
+    depth = int(os.environ.get("RGT_TRAIN_DEPTH", "4"))
+    backend = os.environ.get("RGT_TRAIN_BACKEND", "pallas")
+    reps = int(os.environ.get("RGT_TRAIN_REPS", "10"))
+
+    with open(os.path.join(REF, "tests", scene_name + ".svati")) as f:
+        src = f.read()
+    src = re.sub(r"camera \d+ \d+", f"camera {res} {res}", src, count=1)
+    scene_host = parse_scene_text(src)
+    dev = scene_to_device(scene_host)
+    W = H = res
+    n_pixels = W * H
+    coords = np.asarray(camera_ops.cpu_subpixel_coords(W, H)).reshape(-1, 2)
+    # self-supervised target: the scene's own smooth render would do, but a
+    # constant target keeps the bench scene-independent; gradient work is
+    # identical either way
+    target = np.full((n_pixels, 3), 0.25, np.float32)
+    log(f"[train_bench] {scene_name} {W}x{H} depth={depth} backend={backend} "
+        f"({scene_host.n_triangles} triangles, {n_pixels * 4:,} rays/step)")
+
+    def hard_sync(x):
+        jax.block_until_ready(x)
+        np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[0])
+
+    hard_sync(claim)
+    mesh = make_mesh(1, 1)  # the single real chip
+    for remat in (True, False):
+        cfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
+                           partitioning="octree", diff_max_depth=depth,
+                           ray_chunk=65536, remat=remat)
+        init_state, step_fn = make_train_step(mesh, cfg, dev)
+        state = init_state(extract_params(dev))
+        geo, rest = split_scene(dev)
+        t0 = time.perf_counter()
+        state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
+                              jnp.asarray(target), n_pixels)
+        hard_sync(loss)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
+                                  jnp.asarray(target), n_pixels)
+        hard_sync(loss)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        print(json.dumps({
+            "bench": "train_step", "scene": scene_name, "res": res,
+            "depth": depth, "backend": backend, "remat": remat,
+            "ms_per_step": round(ms, 2), "compile_s": round(compile_s, 1),
+            "peak_mem_mb": device_mem_mb(), "loss": float(loss),
+            "rays_per_step": n_pixels * 4,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

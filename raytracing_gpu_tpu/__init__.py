@@ -22,7 +22,12 @@ blink97/raytracing-gpu (a CUDA/C triangle-mesh ray tracer):
 from raytracing_gpu_tpu.config import RenderConfig
 from raytracing_gpu_tpu.models.scene import Scene, Camera, Lights, Geometry, Materials
 from raytracing_gpu_tpu.models.parser import parse_scene, parse_scene_text
-from raytracing_gpu_tpu.render import render, render_image, render_scene
+from raytracing_gpu_tpu.render import (
+    SceneRenderer,
+    render,
+    render_image,
+    render_scene,
+)
 
 __version__ = "0.1.0"
 
@@ -38,4 +43,5 @@ __all__ = [
     "render",
     "render_image",
     "render_scene",
+    "SceneRenderer",
 ]

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gpu-mode bounce cap (gpu/raytracer.cu:113)")
     p.add_argument("--ray-chunk", type=int, default=8192,
                    help="rays per XLA program instance")
+    p.add_argument("--unroll", choices=["auto", "while", "static"],
+                   default="auto",
+                   help="bounce-loop strategy: auto = while_loop unless "
+                   "quantize=smooth; static = unrolled (differentiable)")
     p.add_argument("--tiles", type=int, default=0,
                    help="shard rays over N devices (0 = single device)")
     p.add_argument("--scene-shards", type=int, default=1,
@@ -100,6 +104,7 @@ def main(argv=None) -> int:
         aliasing=args.aliasing,
         max_bounce=args.max_bounce,
         ray_chunk=args.ray_chunk,
+        unroll=args.unroll,
     )
     scene = parse_scene(args.input)
 

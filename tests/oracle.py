@@ -66,21 +66,40 @@ def scene_text(name: str, width: int | None = None, height: int | None = None) -
     return text
 
 
+GOLDENS = os.path.join(HERE, "goldens")
+
+
 def oracle_render(name: str, width: int | None = None, height: int | None = None) -> np.ndarray:
     """Golden render of a corpus scene via the reference binary, cached.
 
     Returns (H, W, 3) uint8.
+
+    Two cache layers: tests/goldens/ holds COMMITTED renders (the full-res
+    ones cost tens of minutes of 4-thread C time each — spheres at 960x540
+    alone exceeds 10 minutes — so they ship with the repo, keyed by the
+    sha1 of the exact scene text; regenerate with tests/gen_goldens.py);
+    tests/_oracle_cache/ is the gitignored scratch layer for everything
+    rendered on the fly.
     """
     from raytracing_gpu_tpu.utils.image import read_ppm
 
     text = scene_text(name, width, height)
     key = hashlib.sha1(text.encode()).hexdigest()[:16]
     base = name.replace(".svati", "")
+    committed = os.path.join(GOLDENS, f"{base}-{key}.npz")
+    if os.path.exists(committed):
+        return np.load(committed)["img"]
     ppm = os.path.join(CACHE, f"{base}-{key}.ppm")
     if not os.path.exists(ppm):
         binary = build_oracle()
         svati = os.path.join(CACHE, f"{base}-{key}.svati")
         with open(svati, "w") as f:
             f.write(text)
-        subprocess.run([binary, svati, ppm], check=True, capture_output=True, timeout=600)
+        try:
+            subprocess.run([binary, svati, ppm], check=True,
+                           capture_output=True, timeout=7200)
+        except BaseException:
+            if os.path.exists(ppm):
+                os.unlink(ppm)  # never cache a partial render
+            raise
     return read_ppm(ppm)
