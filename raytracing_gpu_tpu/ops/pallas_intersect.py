@@ -185,38 +185,52 @@ def nearest_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     kernel = functools.partial(
         _nearest_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
-    order, count = tile_worklist(tile_mask)
     ray_ix = lambda j, k, order, count: (0, order[j, k])
     tri_ix = lambda j, k, order, count: (j, 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # worklist (order, count) lives in SMEM
-        grid=(nt, nr),
-        in_specs=[
-            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
-        ],
-    )
-    dist, idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
-            jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(nr) * int(nt) * TILE_R * TILE_T * 60,
-            bytes_accessed=(nr * 6 * TILE_R + nt * 9 * TILE_T) * 4,
-            transcendentals=nr * nt * TILE_R,
-        ),
-        interpret=_interpret(),
-    )(order, count, origins_p, dirs_p, v0, e1, e2)
+
+    def one_chunk(v0c, e1c, e2c, maskc):
+        ntc = maskc.shape[0]
+        order, count = tile_worklist(maskc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # worklist (order, count) lives in SMEM
+            grid=(ntc, nr),
+            in_specs=[
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+                jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(nr) * int(ntc) * TILE_R * TILE_T * 60,
+                bytes_accessed=(nr * 6 * TILE_R + ntc * 9 * TILE_T) * 4,
+                transcendentals=nr * ntc * TILE_R,
+            ),
+            interpret=_interpret(),
+        )(order, count, origins_p, dirs_p, v0c, e1c, e2c)
+
+    dist = idx = None
+    for s, n in _tri_tile_chunks(nt, nr):
+        lo, hi = s * TILE_T, (s + n) * TILE_T
+        d_c, i_c = one_chunk(v0[lo:hi], e1[lo:hi], e2[lo:hi],
+                             tile_mask[s:s + n])
+        i_c = i_c + lo  # chunk-local slot -> global slot
+        if dist is None:
+            dist, idx = d_c, i_c
+        else:
+            dist, idx = _combine_nearest(dist, idx, d_c, i_c)
     return dist.reshape(R), idx.reshape(R)
 
 
@@ -258,33 +272,38 @@ def nearest_dist_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     kernel = functools.partial(
         _dist_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
-    order, count = tile_worklist(tile_mask)
     ray_ix = lambda j, k, order, count: (0, order[j, k])
     tri_ix = lambda j, k, order, count: (j, 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt, nr),
-        in_specs=[
-            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    dist = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=int(nr) * int(nt) * TILE_R * TILE_T * 60,
-            bytes_accessed=(nr * 6 * TILE_R + nt * 9 * TILE_T) * 4,
-            transcendentals=nr * nt * TILE_R,
-        ),
-        interpret=_interpret(),
-    )(order, count, origins_p, dirs_p, v0, e1, e2)
+
+    dist = None
+    for s, n in _tri_tile_chunks(nt, nr):
+        lo, hi = s * TILE_T, (s + n) * TILE_T
+        order, count = tile_worklist(tile_mask[s:s + n])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n, nr),
+            in_specs=[
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        d_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(nr) * int(n) * TILE_R * TILE_T * 60,
+                bytes_accessed=(nr * 6 * TILE_R + n * 9 * TILE_T) * 4,
+                transcendentals=nr * n * TILE_R,
+            ),
+            interpret=_interpret(),
+        )(order, count, origins_p, dirs_p, v0[lo:hi], e1[lo:hi], e2[lo:hi])
+        dist = d_c if dist is None else jnp.minimum(dist, d_c)
     return dist.reshape(R)
 
 
@@ -337,11 +356,19 @@ def _fetch_rows_impl(table, idx2d):
         win_tile[:, :, None] == jnp.arange(nt, dtype=idx2d.dtype), axis=1
     )  # (nr, nt)
     order, count = tile_worklist(present.astype(jnp.int32))
+    # Each of the TILE_R rays in a tile contributes exactly one winner tile,
+    # so a row of `present` has at most min(nt, TILE_R) ones: the worklist
+    # (and the grid's k axis) can be statically capped there. This keeps the
+    # prefetched SMEM operand at <= nr*TILE_R*4 bytes regardless of triangle
+    # count — the dense (nr, nt) worklist OOM'd the ~1MB scalar memory at
+    # the 246k-triangle scale tier.
+    kmax = min(nt, TILE_R)
+    order = order[:, :kmax]
     tab_t = table.T  # (C, Tp) — lane-major blocks for the kernel
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nr, nt),
+        grid=(nr, kmax),
         in_specs=[
             # (nr, 1, TILE_R): Mosaic requires the last TWO block dims to be
             # tile-divisible or whole — a (1, TILE_R) block of (nr, TILE_R)
@@ -543,39 +570,48 @@ def nearest_hit_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
     kernel = functools.partial(
         _mxu_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
-    order, count = tile_worklist(tile_mask)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt, nr),
-        in_specs=[
-            pl.BlockSpec((_KF, TILE_R),
-                         lambda j, k, order, count: (0, order[j, k]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, _KF, TILE_T),
-                         lambda j, k, order, count: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    dist, idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
-            jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(nr) * int(nt) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
-            bytes_accessed=(nr * _KF * TILE_R + nt * 4 * _KF * TILE_T) * 4,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(order, count, rayf, g)
+
+    dist = idx = None
+    for s, n in _tri_tile_chunks(nt, nr):
+        lo, hi = s * TILE_T, (s + n) * TILE_T
+        order, count = tile_worklist(tile_mask[s:s + n])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n, nr),
+            in_specs=[
+                pl.BlockSpec((_KF, TILE_R),
+                             lambda j, k, order, count: (0, order[j, k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, _KF, TILE_T),
+                             lambda j, k, order, count: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        d_c, i_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+                jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(nr) * int(n) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
+                bytes_accessed=(nr * _KF * TILE_R + n * 4 * _KF * TILE_T) * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(order, count, rayf, g[:, :, lo:hi])
+        i_c = i_c + lo
+        if dist is None:
+            dist, idx = d_c, i_c
+        else:
+            dist, idx = _combine_nearest(dist, idx, d_c, i_c)
     return dist.reshape(R), idx.reshape(R)
 
 
@@ -588,32 +624,37 @@ def nearest_dist_mxu(rayf, g, tile_mask, mt_eps: float, self_hit_eps: float):
     kernel = functools.partial(
         _mxu_dist_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
     )
-    order, count = tile_worklist(tile_mask)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt, nr),
-        in_specs=[
-            pl.BlockSpec((_KF, TILE_R),
-                         lambda j, k, order, count: (0, order[j, k]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, _KF, TILE_T),
-                         lambda j, k, order, count: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    dist = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=int(nr) * int(nt) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
-            bytes_accessed=(nr * _KF * TILE_R + nt * 4 * _KF * TILE_T) * 4,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(order, count, rayf, g)
+
+    dist = None
+    for s, n in _tri_tile_chunks(nt, nr):
+        lo, hi = s * TILE_T, (s + n) * TILE_T
+        order, count = tile_worklist(tile_mask[s:s + n])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n, nr),
+            in_specs=[
+                pl.BlockSpec((_KF, TILE_R),
+                             lambda j, k, order, count: (0, order[j, k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, _KF, TILE_T),
+                             lambda j, k, order, count: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        d_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(nr) * int(n) * (2 * _KF * 4 + 20) * TILE_R * TILE_T,
+                bytes_accessed=(nr * _KF * TILE_R + n * 4 * _KF * TILE_T) * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(order, count, rayf, g[:, :, lo:hi])
+        dist = d_c if dist is None else jnp.minimum(dist, d_c)
     return dist.reshape(R)
 
 
@@ -963,6 +1004,34 @@ def tile_cull_mask_hierarchical(op, dp, pack, partitioning: str):
                                    pack.tile_nonempty)
     parent = jnp.repeat(mask, 8, axis=0)[:nT]
     return leaf * parent
+
+
+# The scalar-prefetched worklist (order: one s32 per (tri tile, ray tile)
+# pair) lives in SMEM, which is ~1 MB per kernel on v5e: a dense worklist
+# OOMs the scalar memory past ~250k triangles x 64k rays (measured: 246k-tri
+# scale tier, "Ran out of memory in memory space smem. Used 1.00M of
+# 1.00M"). The sweep wrappers below split the TRIANGLE-tile axis into
+# chunks whose worklist fits this budget; splitting rays instead would
+# re-stream every triangle block per sub-call, chunking triangles keeps
+# total DMA identical to the unchunked kernel.
+_SMEM_WORKLIST_BUDGET = 512 * 1024
+
+
+def _tri_tile_chunks(nt: int, nr: int):
+    """[(first tri tile, n tri tiles)] chunks whose (n, nr) s32 worklist
+    fits _SMEM_WORKLIST_BUDGET."""
+    per = max(1, _SMEM_WORKLIST_BUDGET // (4 * nr))
+    return [(s, min(per, nt - s)) for s in range(0, nt, per)]
+
+
+def _combine_nearest(dist, idx, dist_c, idx_c):
+    """Fold a later triangle-chunk's (dist, idx) into the running result.
+    Strict < keeps the earlier chunk on ties — chunks run in ascending
+    triangle order, so this preserves the reference's first-strictly-
+    smaller winner (cpu/hit.c:46-70) exactly as the in-kernel accumulator
+    does across tiles."""
+    better = dist_c < dist
+    return jnp.where(better, dist_c, dist), jnp.where(better, idx_c, idx)
 
 
 def tile_worklist(tile_mask):

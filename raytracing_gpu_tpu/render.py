@@ -240,7 +240,7 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
     results are sliced away).
     """
     chunk = min(cfg.ray_chunk, n_rays)
-    nch = -(-n_rays) // chunk
+    nch = -(-n_rays // chunk)  # ceil: the tail partial chunk must render too
     pack = None
     if cfg.backend in ("pallas", "mxu"):
         # per-scene clustering/packing hoisted out of the chunk map and the

@@ -25,3 +25,25 @@ def test_scene_renderer_gpu_mode():
     cfg = RenderConfig(mode="gpu", aliasing=1, quantize="match")
     r = SceneRenderer(scene, cfg)
     np.testing.assert_array_equal(r.render(), render_scene(scene, cfg))
+
+
+def test_ray_chunking_covers_partial_tail_chunk():
+    """Ray counts that do not divide ray_chunk must still render every ray.
+
+    Regression: _trace_image's chunk count used a broken ceil-div
+    (`-(-n) // c` == floor) and silently dropped the tail chunk — every
+    square corpus render divided evenly, so only non-square native
+    resolutions (spheres/car-on-road/dark-night at 960x540) hit it, as a
+    reshape error deep in image assembly. A 20x12 cpu-mode render is 960
+    rays; ray_chunk=256 leaves a 192-ray tail. Both mode pipelines must
+    equal the single-chunk image exactly.
+    """
+    scene = make_sphere_scene(width=20, height=12)
+    for mode in ("cpu", "gpu"):
+        one = render_scene(scene, RenderConfig(mode=mode, aliasing=1,
+                                               quantize="match"))
+        chunked = render_scene(scene, RenderConfig(mode=mode, aliasing=1,
+                                                   quantize="match",
+                                                   ray_chunk=256))
+        np.testing.assert_array_equal(one, chunked)
+        assert one.shape == (12, 20, 3)

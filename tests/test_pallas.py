@@ -275,3 +275,56 @@ def test_pack_rays_padding_misses():
     )
     assert R == 3
     assert not np.isfinite(np.asarray(dist[3:])).any()
+
+
+def test_sweep_kernels_chunk_triangle_axis():
+    """Triangle-axis worklist chunking is bit-exact vs the single-chunk path.
+
+    The scalar-prefetched worklist is nt*nr*4 bytes of the ~1MB per-kernel
+    SMEM; past ~250k triangles x 64k rays a dense worklist OOMs the compile
+    (measured on the 246k scale tier: "Ran out of memory in memory space
+    smem"). The sweep wrappers chunk the triangle-tile axis under
+    _SMEM_WORKLIST_BUDGET and combine chunks with strict <, preserving the
+    first-occurrence tie-break. Force multi-chunk traces on a small scene
+    (budget shrunk to one tri tile per chunk) and require IDENTICAL
+    dist/idx: min over f32 is exact, so any difference is a real bug.
+    """
+    scene = make_sphere_scene(width=8, height=8, n_lat=16, n_lon=24)
+    dev = scene_to_device(scene)
+    rng = np.random.RandomState(7)
+    R = 512
+    o = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0)
+    d = jnp.asarray(rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0)
+
+    v0, e1, e2 = pk.pack_triangles(dev.geometry.vertices, dev.geometry.valid)
+    op, dp, _ = pk.pack_rays(o, d)
+    nr = op.shape[1] // pk.TILE_R
+    nt = v0.shape[0] // pk.TILE_T
+    assert nt >= 3, f"need >=3 triangle tiles to exercise chunking, got {nt}"
+    mask = jnp.ones((nt, nr), jnp.int32)
+    rayf = pk.ray_features_mxu(op, dp)
+    g = pk.pack_tri_features(v0, e1, e2)
+
+    def run_all():
+        return (
+            pk.nearest_hit_pallas(op, dp, v0, e1, e2, mask, 1e-7, 0.01),
+            pk.nearest_dist_pallas(op, dp, v0, e1, e2, mask, 1e-7, 0.01),
+            pk.nearest_hit_mxu(rayf, g, mask, 1e-7, 0.01),
+            pk.nearest_dist_mxu(rayf, g, mask, 1e-7, 0.01),
+        )
+
+    base = jax.tree.map(np.asarray, run_all())
+    assert len(pk._tri_tile_chunks(nt, nr)) == 1  # sanity: base is unchunked
+
+    saved = pk._SMEM_WORKLIST_BUDGET
+    try:
+        pk._SMEM_WORKLIST_BUDGET = 4 * nr  # one triangle tile per chunk
+        assert len(pk._tri_tile_chunks(nt, nr)) == nt
+        jax.clear_caches()  # the chunk split is baked in at trace time
+        chunked = jax.tree.map(np.asarray, run_all())
+    finally:
+        pk._SMEM_WORKLIST_BUDGET = saved
+        jax.clear_caches()
+
+    for b, c in zip(jax.tree.leaves(base), jax.tree.leaves(chunked)):
+        np.testing.assert_array_equal(b, c)

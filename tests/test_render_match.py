@@ -123,8 +123,9 @@ FULLRES = [
 def test_full_resolution_tpu(name, w, h):
     """The advertised claim, reproducible in-repo: each scene at its native
     resolution through the flagship TPU kernel matches the C oracle under
-    the edge-aware policy (>=99.9% of pixels within ±1 off-edge, every
-    larger diff on a geometry/shadow edge)."""
+    the edge-aware policy (>=99.9% of pixels within ±1 off-edge; larger
+    diffs on geometry/shadow edges, plus at most 0.005% isolated off-edge
+    shadow-boundary flips — see assert_images_close)."""
     golden = oracle_render(name, w, h)
     scene = parse_scene_text(scene_text(name, w, h))
     img = render_scene(
