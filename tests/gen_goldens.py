@@ -32,6 +32,8 @@ FULLRES = [
     ("spheres", 960, 540),
     ("car-on-road", 960, 540),
     ("dark-night", 960, 540),
+    ("island_smooth", 960, 540),
+    ("susans_smooth", 960, 540),
 ]
 
 
