@@ -91,37 +91,66 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
     Returns (dist[R,T], u[R,T], v[R,T], t[R,T], ok[R,T]) with dist=inf when
     not ok. Follows cpu/hit.c:4-70 arithmetic exactly.
     """
+    # Componentwise with LEFT-ASSOCIATED dot products — the exact f32
+    # rounding order of cpu/hit.c's vector3_dot ((x*x + y*y) + z*z).
+    # jnp.cross/jnp.sum-based formulations let XLA pick the reduce
+    # association, which under the catastrophic cancellation of near-seam
+    # determinants shifted u by up to ~6e-4 relative (measured) and flipped
+    # accept tests/winners on tessellation seams. Same layout trick as the
+    # Pallas kernel (_mt_tile): triangle components are (T,) columns, ray
+    # components (R,1) rows, every intermediate a well-tiled (R,T) plane.
     v0 = vertices[:, 0]  # (T,3)
-    v1 = vertices[:, 1]
-    v2 = vertices[:, 2]
-    edge1 = v1 - v0  # (T,3)
-    edge2 = v2 - v0
+    e1 = vertices[:, 1] - v0  # (T,3)
+    e2 = vertices[:, 2] - v0
+    v0x, v0y, v0z = v0[:, 0], v0[:, 1], v0[:, 2]  # (T,)
+    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]  # (R,1)
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
 
-    d = dirs[:, None, :]  # (R,1,3)
-    o = origins[:, None, :]
-
-    h = jnp.cross(d, edge2[None, :, :])  # (R,T,3)
-    a = jnp.sum(edge1[None, :, :] * h, axis=-1)  # (R,T)
+    # h = cross(d, e2)  (R,T)
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = (e1x * hx + e1y * hy) + e1z * hz  # (R,T)
     ok = jnp.abs(a) >= mt_eps  # reject -eps < a < eps (cpu/hit.c:21-22)
     f = 1.0 / jnp.where(ok, a, 1.0)
-    s = o - v0[None, :, :]  # (R,T,3)
-    u = f * jnp.sum(s * h, axis=-1)
+    sx = ox - v0x  # (R,T)
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * ((sx * hx + sy * hy) + sz * hz)
     ok &= (u >= 0.0) & (u <= 1.0)
-    q = jnp.cross(s, edge1[None, :, :])  # (R,T,3)
-    v = f * jnp.sum(d * q, axis=-1)
+    # q = cross(s, e1)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * ((dx * qx + dy * qy) + dz * qz)
     ok &= (v >= 0.0) & (u + v <= 1.0)
-    t = f * jnp.sum(edge2[None, :, :] * q, axis=-1)
+    t = f * ((e2x * qx + e2y * qy) + e2z * qz)
     ok &= t > mt_eps  # cpu/hit.c:33
 
     # The reference computes out = origin + normalize(dir) * (t*|dir|)
-    # (cpu/hit.c:36-38) and dist = |out - origin| (cpu/hit.c:57). We return
-    # dist = t*|dir| which is the same value up to f32 rounding; the hit
-    # point itself is reconstructed by the caller for the winner only.
+    # (cpu/hit.c:36-38) and selects/accepts by dist = |out - origin|
+    # (cpu/hit.c:57-59) — NOT by t*|dir|. The two differ by ~1 ulp, which
+    # decides real winners: rays on a tessellation seam (e.g. the exact
+    # center column of a left-right-symmetric scene) see the two adjacent
+    # mirrored triangles at distances 0-1 ulp apart, and the reference's
+    # formula frequently rounds them to an EXACT tie (first-occurrence then
+    # picks the lower index). Selecting by t*|dir| instead produced a
+    # systematic winner-flip stripe down the symmetry column (2-8 uint8
+    # units, spheres 960x540 — root-caused via benches/stripe_mirror.py).
+    # So: reproduce the exact chain fl(o + nd*(t*|d|)) - o with left-
+    # associated component sums, no shortcuts.
     # (zero-length dirs only occur on dead/masked ray lanes; guard keeps
     # them NaN-free so gradients can't be poisoned through jnp.where)
-    dlen2 = jnp.sum(dirs * dirs, axis=-1)  # (R,)
+    dlen2 = (dx * dx + dy * dy) + dz * dz  # (R,1), left-assoc like the ref
     dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
-    dist = t * dlen[:, None]
+    ndx, ndy, ndz = dx / dlen, dy / dlen, dz / dlen  # (R,1) f32 divides
+    td = t * dlen  # (R,T)
+    ddx = (ox + ndx * td) - ox
+    ddy = (oy + ndy * td) - oy
+    ddz = (oz + ndz * td) - oz
+    dist = jnp.sqrt((ddx * ddx + ddy * ddy) + ddz * ddz)
     ok &= dist > self_hit_eps  # cpu/hit.c:59
     ok &= valid[None, :]
     if pair_mask is not None:
@@ -214,16 +243,26 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
 
 def _winner_uvt_from(origins, dirs, v0, edge1, edge2, mt_eps):
     """Re-run Möller–Trumbore on each ray's winning triangle only (R x 1
-    work) to recover (u, v, t) — same arithmetic as _mt_core, so the values
-    are bit-identical to what the full pass computed."""
-    h = jnp.cross(dirs, edge2)
-    a = jnp.sum(edge1 * h, axis=-1)
+    work) to recover (u, v, t) — componentwise with left-associated dots,
+    the same rounding order as _mt_core/_mt_tile, so the values are
+    bit-identical to what the full pass computed."""
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    e1x, e1y, e1z = edge1[:, 0], edge1[:, 1], edge1[:, 2]
+    e2x, e2y, e2z = edge2[:, 0], edge2[:, 1], edge2[:, 2]
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = (e1x * hx + e1y * hy) + e1z * hz
     f = 1.0 / jnp.where(jnp.abs(a) >= mt_eps, a, 1.0)
-    s = origins - v0
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, edge1)
-    v = f * jnp.sum(dirs * q, axis=-1)
-    t = f * jnp.sum(edge2 * q, axis=-1)
+    sx = origins[:, 0] - v0[:, 0]
+    sy = origins[:, 1] - v0[:, 1]
+    sz = origins[:, 2] - v0[:, 2]
+    u = f * ((sx * hx + sy * hy) + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * ((dx * qx + dy * qy) + dz * qz)
+    t = f * ((e2x * qx + e2y * qy) + e2z * qz)
     return u, v, t
 
 
@@ -291,8 +330,18 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
             # combine's transpose routes cotangents to the owning shard.)
             mat = rows[:, pk.COL_MAT]
         wu, wv, wt = _winner_uvt_from(origins, dirs, wv0, we1, we2, mt_eps)
-        dlen2_w = jnp.sum(dirs * dirs, axis=-1)
-        wdist = wt * jnp.sqrt(jnp.where(dlen2_w > 0.0, dlen2_w, 1.0))
+        # reference-exact distance |fl(o + nd*(t*|d|)) - o| (cpu/hit.c:36-38,
+        # 57) — same chain as _mt_core / the sweep kernels; see the seam-tie
+        # note in _mt_core
+        dlen2_w = ((dirs[:, 0] * dirs[:, 0] + dirs[:, 1] * dirs[:, 1])
+                   + dirs[:, 2] * dirs[:, 2])
+        dlen_w = jnp.sqrt(jnp.where(dlen2_w > 0.0, dlen2_w, 1.0))
+        nd_w = dirs / dlen_w[:, None]
+        td_w = wt * dlen_w
+        px = (origins[:, 0] + nd_w[:, 0] * td_w) - origins[:, 0]
+        py = (origins[:, 1] + nd_w[:, 1] * td_w) - origins[:, 1]
+        pz = (origins[:, 2] + nd_w[:, 2] * td_w) - origins[:, 2]
+        wdist = jnp.sqrt((px * px + py * py) + pz * pz)
     else:
         dist, u, v, t, ok = _mt_core(
             origins, dirs, geometry.vertices, geometry.normals, geometry.valid,
@@ -309,14 +358,17 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
         obj = geometry.tri_obj[win]
 
     # Hit point: origin + normalize(dir) * (t * |dir|)  (cpu/hit.c:36-38)
-    dlen2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+    # (left-assoc length like vector3_dot, see the seam note in _mt_core)
+    dlen2 = ((dirs[:, 0] * dirs[:, 0] + dirs[:, 1] * dirs[:, 1])
+             + dirs[:, 2] * dirs[:, 2])[:, None]
     dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))
     ndir = dirs / dlen
     point = origins + ndir * (wt[:, None] * dlen)
 
     # Smooth normal: per-vertex normalize THEN barycentric interpolation,
     # never renormalized (cpu/hit.c:10-12, 38-40).
-    nlen2 = jnp.sum(tri_n * tri_n, axis=-1, keepdims=True)
+    nlen2 = ((tri_n[..., 0] * tri_n[..., 0] + tri_n[..., 1] * tri_n[..., 1])
+             + tri_n[..., 2] * tri_n[..., 2])[..., None]
     nn = tri_n / jnp.sqrt(jnp.where(nlen2 > 0.0, nlen2, 1.0))
     normal = (
         nn[:, 0] * (1.0 - wu - wv)[:, None]

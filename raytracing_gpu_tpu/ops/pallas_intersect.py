@@ -77,10 +77,19 @@ def _sel(pred, a, b):
     return lax.select(pred, jnp.broadcast_to(a, pred.shape).astype(b.dtype), b)
 
 
-def _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref, mt_eps, self_hit_eps):
+def _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref, mt_eps, self_hit_eps,
+             ref_dist: bool = False):
     """Möller–Trumbore pair tile -> dist (TILE_T, TILE_R), inf on reject.
 
     Arithmetic order matches cpu/hit.c:4-70.
+
+    ref_dist=True computes the distance exactly as the reference does for
+    winner selection: |fl(o + nd*(t*|d|)) - o| (cpu/hit.c:36-38,57) instead
+    of t*|d|. The two differ by ~1 ulp, which decides real winners on
+    tessellation seams (mirrored triangle pairs 0-1 ulp apart — the
+    center-column stripe, see ops/intersect.py _mt_core). The nearest-hit
+    kernels use it; the dist-only shadow kernels keep the cheap t*|d|
+    (their result is consumed as a boolean any-hit, cpu/light.c:24-31).
     """
     ox, oy, oz = (o_ref[k:k + 1, :] for k in range(3))  # (1,R)
     dx, dy, dz = (d_ref[k:k + 1, :] for k in range(3))
@@ -111,7 +120,15 @@ def _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref, mt_eps, self_hit_eps):
 
     dlen2 = dx * dx + dy * dy + dz * dz  # (1,R)
     dlen = jnp.sqrt(_sel(dlen2 > 0.0, dlen2, jnp.ones_like(dlen2)))
-    dist = t * dlen
+    if ref_dist:
+        ndx, ndy, ndz = dx / dlen, dy / dlen, dz / dlen  # (1,R) per ray
+        td = t * dlen  # (T,R)
+        ddx = (ox + ndx * td) - ox
+        ddy = (oy + ndy * td) - oy
+        ddz = (oz + ndz * td) - oz
+        dist = jnp.sqrt((ddx * ddx + ddy * ddy) + ddz * ddz)
+    else:
+        dist = t * dlen
     ok &= dist > self_hit_eps
     return _sel(ok, dist, jnp.full_like(dist, _INF))
 
@@ -160,7 +177,7 @@ def _nearest_kernel(order_ref, count_ref, o_ref, d_ref, v0_ref, e1_ref,
     @pl.when(k < count_ref[j])
     def _():
         dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
-                        mt_eps, self_hit_eps)  # (TT, TR)
+                        mt_eps, self_hit_eps, ref_dist=True)  # (TT, TR)
         _accum_nearest(i, j, dist, dist_ref, idx_ref)
 
 
@@ -449,7 +466,9 @@ _KF = 16  # feature rows, padded to a sublane multiple
 def ray_features_mxu(op, dp):
     """Packed (3, Rp) rays -> (16, Rp) F feature planes, all lane-major.
 
-    Rows: 0-2 = d, 3-5 = m = o×d, 6-8 = o, 9 = 1, 10 = |d|, 11-15 = 0.
+    Rows: 0-2 = d, 3-5 = m = o×d, 6-8 = o, 9 = 1, 10 = |d|,
+    11-13 = nd = d/|d| (for the reference-exact winner distance in the
+    epilogue), 14-15 = 0.
     """
     ox, oy, oz = op[0], op[1], op[2]  # (Rp,)
     dx, dy, dz = dp[0], dp[1], dp[2]
@@ -457,8 +476,9 @@ def ray_features_mxu(op, dp):
     ones = jnp.ones((1, op.shape[1]), op.dtype)
     dlen2 = dx * dx + dy * dy + dz * dz
     dlen = jnp.sqrt(jnp.where(dlen2 > 0.0, dlen2, 1.0))[None, :]
-    zeros = jnp.zeros((_KF - 11, op.shape[1]), op.dtype)
-    return jnp.concatenate([dp, m, op, ones, dlen, zeros], axis=0)
+    nd = dp / dlen
+    zeros = jnp.zeros((_KF - 14, op.shape[1]), op.dtype)
+    return jnp.concatenate([dp, m, op, ones, dlen, nd, zeros], axis=0)
 
 
 def pack_rays_mxu(origins, dirs):
@@ -492,9 +512,12 @@ def pack_tri_features(v0, e1, e2):
     return jnp.stack([ga, gu, gv, gt]).transpose(0, 2, 1)  # (4, 16, Tp)
 
 
-def _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps):
+def _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps, ref_dist: bool = False):
     """Möller–Trumbore pair tile via four MXU matmuls -> dist, inf on
-    reject. Same acceptance tests as _mt_tile."""
+    reject. Same acceptance tests as _mt_tile; ref_dist as in _mt_tile
+    (computed from the RECENTERED origin — the MXU backend's winners
+    already differ from the scalar reference by matmul association on
+    exact geometry edges, see the module note)."""
     F = f_ref[:, :]  # (16, TR)
 
     def dot(g):  # (16,TT)^T @ (16,TR) on the MXU (TN form), f32-accurate
@@ -517,7 +540,16 @@ def _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps):
     ok &= (v >= 0.0) & (u + v <= 1.0)
     t = tn * f
     ok &= t > mt_eps
-    dist = t * f_ref[10:11, :]  # |d| row -> dist = t * |d|
+    if ref_dist:
+        td = t * f_ref[10:11, :]  # t * |d|
+        ox, oy, oz = f_ref[6:7, :], f_ref[7:8, :], f_ref[8:9, :]
+        ndx, ndy, ndz = f_ref[11:12, :], f_ref[12:13, :], f_ref[13:14, :]
+        ddx = (ox + ndx * td) - ox
+        ddy = (oy + ndy * td) - oy
+        ddz = (oz + ndz * td) - oz
+        dist = jnp.sqrt((ddx * ddx + ddy * ddy) + ddz * ddz)
+    else:
+        dist = t * f_ref[10:11, :]  # |d| row -> dist = t * |d|
     ok &= dist > self_hit_eps
     return _sel(ok, dist, jnp.full_like(dist, _INF))
 
@@ -537,7 +569,7 @@ def _mxu_kernel(order_ref, count_ref, f_ref, g_ref, dist_ref, idx_ref, *,
 
     @pl.when(k < count_ref[j])
     def _():
-        dist = _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps)
+        dist = _mxu_tile(f_ref, g_ref, mt_eps, self_hit_eps, ref_dist=True)
         _accum_nearest(i, j, dist, dist_ref, idx_ref)
 
 
@@ -1019,8 +1051,11 @@ _SMEM_WORKLIST_BUDGET = 512 * 1024
 
 def _tri_tile_chunks(nt: int, nr: int):
     """[(first tri tile, n tri tiles)] chunks whose (n, nr) s32 worklist
-    fits _SMEM_WORKLIST_BUDGET."""
-    per = max(1, _SMEM_WORKLIST_BUDGET // (4 * nr))
+    fits _SMEM_WORKLIST_BUDGET. Scalar-prefetch operands pad the minor
+    dimension to the 128-lane width, so the footprint is budgeted against
+    max(nr, 128) — matters only for small-ray (< 32k rays) / huge-mesh
+    calls, where an unpadded budget could still OOM SMEM."""
+    per = max(1, _SMEM_WORKLIST_BUDGET // (4 * max(nr, 128)))
     return [(s, min(per, nt - s)) for s in range(0, nt, per)]
 
 

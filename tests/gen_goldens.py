@@ -24,11 +24,24 @@ import numpy as np
 
 from oracle import GOLDENS, oracle_render, scene_text
 
-# must match tests/test_render_match.py FULLRES
+# must match tests/test_render_match.py FULLRES — the whole 20-scene corpus
+# at each scene's declared native resolution (camera line 1)
 FULLRES = [
     ("triangle", 512, 512),
+    ("triangle-ambient", 512, 512),
+    ("triangle-left-ambient", 512, 512),
     ("cube", 512, 512),
+    ("cube-ambient", 512, 512),
     ("susan", 512, 512),
+    ("secret", 512, 512),
+    ("secret2", 512, 512),
+    ("sphere-spec", 512, 512),
+    ("sphere-spec_smooth", 512, 512),
+    ("sphere-specular", 512, 512),
+    ("point-light", 960, 540),
+    ("dir-light-shadows", 960, 540),
+    ("lighthouse", 960, 540),
+    ("car", 960, 540),
     ("spheres", 960, 540),
     ("car-on-road", 960, 540),
     ("dark-night", 960, 540),

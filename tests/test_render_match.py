@@ -111,8 +111,20 @@ def test_smooth_close_to_oracle():
 # 0.021% off-edge on spheres).
 FULLRES = [
     ("triangle", 512, 512, None),
+    ("triangle-ambient", 512, 512, None),
+    ("triangle-left-ambient", 512, 512, None),
     ("cube", 512, 512, None),
+    ("cube-ambient", 512, 512, None),
     ("susan", 512, 512, None),
+    ("secret", 512, 512, None),
+    ("secret2", 512, 512, None),
+    ("sphere-spec", 512, 512, None),
+    ("sphere-spec_smooth", 512, 512, None),
+    ("sphere-specular", 512, 512, None),
+    ("point-light", 960, 540, None),
+    ("dir-light-shadows", 960, 540, None),
+    ("lighthouse", 960, 540, None),
+    ("car", 960, 540, None),
     ("spheres", 960, 540, 4e-4),       # 6 lights (4 point), Nr=0.85 mirrors
     ("car-on-road", 960, 540, None),
     ("dark-night", 960, 540, None),
