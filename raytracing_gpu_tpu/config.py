@@ -41,10 +41,16 @@ class RenderConfig:
         conservative in every mode: renders are bit-identical across modes.
       backend: "jnp" (pure-XLA batched path), "pallas" (hand-written TPU
         VPU kernel for the intersection hot loop — fastest measured: the
-        accept/argmin epilogue bounds both kernels), or "mxu" (Pallas
-        kernel with the Möller–Trumbore determinants reformulated as MXU
-        matmuls; winners may flip on geometry edges vs the other backends
-        because the arithmetic association differs).
+        accept/argmin epilogue bounds both kernels), or "mxu"
+        (EXPERIMENTAL: Pallas kernel with the Möller–Trumbore determinants
+        reformulated as MXU matmuls; winners may flip on geometry edges vs
+        the other backends because the arithmetic association differs.
+        Measured slower than "pallas" at every setting that passes the
+        oracle — the f32-exact 6-pass bf16 decomposition the MXU needs
+        costs more than the 60-op VPU tile; single-pass bf16 is 1.6x the
+        VPU's raw pair rate but its ~1e-3 determinant error breaks
+        renders, and no cheap conservative error bound exists under
+        cancellation. Full numbers: BASELINE.md roofline section).
       max_bounce: bounce cap for "gpu" mode (gpu/raytracer.cu:113).
       cpu_max_depth: safety cap on the emulated recursion depth in "cpu" mode
         (the reference recursion terminates via coef < cutoff, which never

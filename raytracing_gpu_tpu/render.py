@@ -229,7 +229,7 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
 
 
 def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
-                 gpu_semantics=False):
+                 gpu_semantics=False, fold4=False):
     """(n_rays, 3) colors via lax.map over chunk INDICES, generating each
     chunk's plane coords and rays in-body with `coord_fn(ray_ids)`.
 
@@ -238,6 +238,15 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
     megapixel buffer plumbing); id-generated rays compile the identical math
     in ~13s. Tail ray ids are clamped to the last valid ray (its duplicated
     results are sliced away).
+
+    fold4=True folds each chunk's 2x2 subsample colors into pixels INSIDE
+    the map body (exact clamp order of assemble_cpu_image) and returns
+    (n_rays//4, 3) pixel colors instead: the full subsample buffer is never
+    written to HBM. Traced susan 512x512: the chunk writeback + relayout
+    (dynamic_update_slice + reshape + copy, ~2.2 ms of a 16.1 ms frame)
+    shrinks 4x. Requires chunk % 4 == 0 (callers fall back otherwise);
+    valid because ray id = pixel*4 + subsample, so subsamples of one pixel
+    never straddle a chunk boundary.
     """
     chunk = min(cfg.ray_chunk, n_rays)
     nch = -(-n_rays // chunk)  # ceil: the tail partial chunk must render too
@@ -260,13 +269,30 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
         coords = coord_fn(r)
         origins, dirs = camera_ops.make_rays(u, v, C, pos, coords)
         if gpu_semantics:
-            return trace_rays_gpu(scene, origins, dirs, cfg, None, pack,
-                                  unroll)
-        return trace_rays(scene, origins, dirs, cfg, depth, unroll, None,
-                          pack)
+            colors = trace_rays_gpu(scene, origins, dirs, cfg, None, pack,
+                                    unroll)
+        else:
+            colors = trace_rays(scene, origins, dirs, cfg, depth, unroll,
+                                None, pack)
+        if fold4:
+            return _fold_subsamples(colors, cfg)
+        return colors
 
     colors = jax.lax.map(body, jnp.arange(nch))
-    return colors.reshape(-1, 3)[:n_rays]
+    n_out = n_rays // 4 if fold4 else n_rays
+    return colors.reshape(-1, 3)[:n_out]
+
+
+def _fold_subsamples(colors, cfg: RenderConfig):
+    """(4k,3) subsample colors -> (k,3) pixel colors, accumulated in the
+    reference's subsample order with clamped ops (cpu/raytracer.c:55-68) —
+    the arithmetic of assemble_cpu_image's fold, applied per chunk."""
+    cops = ColorOps(cfg.quantize)
+    sub = colors.reshape(-1, 4, 3)
+    acc = cops.zeros((sub.shape[0],))
+    for s in range(4):
+        acc = cops.add(acc, cops.mul(sub[:, s, :], 0.25))
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "depth", "width", "height"))
@@ -276,8 +302,13 @@ def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, he
     unroll = cfg.resolve_unroll()  # static unroll = reverse-mode diff path
     coord_fn = functools.partial(
         camera_ops.cpu_subpixel_coords_traced, width, height)
-    colors = _trace_image(scene, cfg, depth, width * height * 4, coord_fn,
-                          unroll)  # (H*W*4,3)
+    n_rays = width * height * 4
+    fold4 = min(cfg.ray_chunk, n_rays) % 4 == 0
+    colors = _trace_image(scene, cfg, depth, n_rays, coord_fn, unroll,
+                          fold4=fold4)
+    if fold4:  # (H*W,3) pixel colors — just finalize + reshape
+        cops = ColorOps(cfg.quantize)
+        return cops.finalize(colors).reshape(height, width, 3)
     return assemble_cpu_image(colors, cfg, width, height)
 
 

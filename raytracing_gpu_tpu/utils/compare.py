@@ -86,6 +86,7 @@ def assert_images_close(
     max_mean_abs: float = 1.0,
     edge_thresh: int = 8,
     max_frac_off_edge: float = 5e-5,
+    max_off_edge_mag: int = 16,
     context: str = "",
 ) -> ImageDiff:
     """Assert `a` matches golden `b` up to FP-boundary effects.
@@ -121,12 +122,19 @@ def assert_images_close(
     # edges, and 6-light 1/dist+pow accumulation drifts past ±1 in smooth
     # gradients (measured on spheres 960x540: 109 off-edge pixels = 0.021%,
     # half of them a 2-8-unit stripe on the exact center column where the
-    # camera ray's u component crosses 0).
+    # camera ray's u component crosses 0 — root-caused and fixed round 4:
+    # the reference-exact winner-distance formula removed the stripe class).
     max_off_edge = int(max_frac_off_edge * per_pix.size)
+    # Tolerated off-edge outliers are bounded in MAGNITUDE too: an isolated
+    # f32 hit/shadow flip changes a pixel by a few uint8 steps (measured
+    # 2-8); a localized rendering artifact of arbitrary brightness must not
+    # hide inside the count budget.
+    off_edge_mag = int(per_pix[off_edge_bad].max()) if off_edge_bad.any() else 0
     # frac limit applies to pixels beyond tol (all necessarily on edges);
     # within-tol truncation jitter is unbounded in count by design
     ok = (
         int(off_edge_bad.sum()) <= max_off_edge
+        and off_edge_mag <= max_off_edge_mag
         and d.frac_bad <= max_frac_diff
         and d.mean_abs <= max_mean_abs
     )
@@ -136,7 +144,8 @@ def assert_images_close(
         if len(ys):
             y, x = ys[0], xs[0]
             detail = (
-                f"; {len(ys)} off-edge pixels differ, e.g. ({y},{x}) "
+                f"; {len(ys)} off-edge pixels differ (max|d|={off_edge_mag}, "
+                f"budget {max_off_edge}@<={max_off_edge_mag}), e.g. ({y},{x}) "
                 f"ours={a[y, x].tolist()} golden={b[y, x].tolist()}"
             )
         raise AssertionError(
