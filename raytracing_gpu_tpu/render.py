@@ -410,7 +410,13 @@ class SceneRenderer:
             scene, _ = with_accel(scene, cfg.partitioning)
         self.scene = jax.block_until_ready(scene)
         max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
-        shapes = tuple(jax.tree.map(lambda a: a.shape, jax.tree.leaves(scene)))
+        # cache key: leaf shapes AND the pytree structure — Scene carries
+        # static aux metadata (object/light counts); two scenes with
+        # identical padded leaf shapes but different metadata must not
+        # share an executable (the call would reject the treedef mismatch)
+        shapes = (tuple(jax.tree.map(lambda a: a.shape,
+                                     jax.tree.leaves(scene))),
+                  str(jax.tree.structure(scene)))
         w, h = self.width, self.height
         if cfg.mode == "cpu":
             cap = (cfg.diff_max_depth if cfg.quantize == "smooth"
