@@ -89,6 +89,14 @@ def main() -> None:
 
     hard_sync(claim)
     mesh = make_mesh(1, 1)  # the single real chip
+    # device-resident step inputs, like any real training loop. Round 3
+    # benched with jnp.asarray(coords) INSIDE the step loop: that re-uploads
+    # 8.4 MB of subpixel coords + 3 MB of targets from host numpy through
+    # the tunnel synchronously EVERY step — 5.2 s of the recorded
+    # 6.35 s/step was that transfer, not the train step (device time per
+    # step is 131 ms, benches/roofline_train.json).
+    coords_d = jnp.asarray(coords)
+    target_d = jnp.asarray(target)
     for remat in (True, False):
         cfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
                            partitioning="octree", diff_max_depth=depth,
@@ -97,20 +105,30 @@ def main() -> None:
         state = init_state(extract_params(dev))
         geo, rest = split_scene(dev)
         t0 = time.perf_counter()
-        state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
-                              jnp.asarray(target), n_pixels)
+        state, loss = step_fn(state, geo, rest, coords_d, target_d, n_pixels)
         hard_sync(loss)
         compile_s = time.perf_counter() - t0
+        # The SECOND call retraces: the fresh optimizer state's weak-typed
+        # scalars are promoted to strong types by the first update, changing
+        # input avals — a full ~50 s recompile that the round-3 bench
+        # silently averaged into its reps (recorded 6,354 ms/step was
+        # (recompile + 9 real steps)/10; the real step is ~175 ms). Warm
+        # through it before timing.
+        t0 = time.perf_counter()
+        state, loss = step_fn(state, geo, rest, coords_d, target_d, n_pixels)
+        hard_sync(loss)
+        retrace_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
-                                  jnp.asarray(target), n_pixels)
+            state, loss = step_fn(state, geo, rest, coords_d, target_d,
+                                  n_pixels)
         hard_sync(loss)
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(json.dumps({
             "bench": "train_step", "scene": scene_name, "res": res,
             "depth": depth, "backend": backend, "remat": remat,
             "ms_per_step": round(ms, 2), "compile_s": round(compile_s, 1),
+            "retrace_s": round(retrace_s, 1),
             "peak_mem_mb": device_mem_mb(), "loss": float(loss),
             "rays_per_step": n_pixels * 4,
         }), flush=True)

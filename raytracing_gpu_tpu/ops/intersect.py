@@ -238,6 +238,18 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
     # (clustered too), so no perm remap (a slow gather) is needed
     if idx is not None:
         idx = idx.reshape(-1, pk.TILE_R)
+    # Named for the rematerialization policy (render.trace_rays): the sweep
+    # is stop_gradient'd (selection only), so recomputing it in the backward
+    # pass is pure waste — under jax.checkpoint with
+    # save_only_these_names(*SWEEP_RESIDUALS) the tiny (R,) outputs are
+    # saved and the pair sweep runs ONCE per step instead of twice
+    # (measured: shadow+primary sweeps were 113 of the 131 ms/step device
+    # time at spheres 256², ~half of it the remat re-execution).
+    from jax.ad_checkpoint import checkpoint_name
+
+    dist = checkpoint_name(dist, "sweep_dist")
+    if idx is not None:
+        idx = checkpoint_name(idx, "sweep_idx")
     return dist[:R], idx, pack
 
 

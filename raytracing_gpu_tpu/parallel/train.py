@@ -199,6 +199,13 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.diff_max_depth)
 
     def init_state(params):
+        # NOTE: the first step_fn call on a fresh state compiles; the SECOND
+        # call retraces once more (the fresh state's uncommitted host avals
+        # differ from step_fn's committed, sharding-annotated outputs) — a
+        # full recompile (~50 s at 256²). Steady state begins at call 3.
+        # benches/train_bench.py warms through it before timing; the
+        # round-3 bench did not, silently amortizing the recompile into its
+        # reps and recording 6,354 ms/step for what is a ~175 ms step.
         return TrainState(params=params, opt_state=optimizer.init(params),
                           step=jnp.zeros((), jnp.int32))
 

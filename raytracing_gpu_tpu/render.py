@@ -40,6 +40,16 @@ from raytracing_gpu_tpu.ops.intersect import collide
 from raytracing_gpu_tpu.ops.shading import shade
 
 
+# Rematerialization policy for the unrolled (differentiable) bounce loop:
+# recompute everything EXCEPT the intersection sweeps' outputs. The sweep
+# kernels are pure selection (stop_gradient'd, no VJP of their own), so
+# re-executing them during the backward pass buys no memory worth having —
+# their saved outputs are (R,)-sized while their cost dominates the step
+# (ops/intersect.py _pallas_nearest tags the names).
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "sweep_dist", "sweep_idx")
+
+
 def required_depth(max_nr: float, cutoff: float, cap: int) -> int:
     """Static recursion depth: smallest D with max_nr^D < cutoff.
 
@@ -116,7 +126,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
         cops.zeros((R,)),
     )
     if unroll:
-        fstep = jax.checkpoint(step) if cfg.remat else step
+        fstep = jax.checkpoint(step, policy=_REMAT_POLICY) if cfg.remat else step
         state = init
         for _ in range(depth):
             state = fstep(*state)
@@ -177,7 +187,7 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
     init = (origins, dirs, jnp.ones((R,), jnp.float32),
             jnp.ones((R,), bool), cops.zeros((R,)))
     if unroll:
-        fstep = jax.checkpoint(step) if cfg.remat else step
+        fstep = jax.checkpoint(step, policy=_REMAT_POLICY) if cfg.remat else step
         state = init
         for _ in range(cfg.max_bounce + 1):
             state = fstep(*state)
