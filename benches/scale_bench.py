@@ -69,6 +69,9 @@ def main() -> None:
         grids.append(("246k", dict(nx=8, ny=8, nz=4)))
         grids.append(("492k", dict(nx=8, ny=8, nz=8)))
         grids.append(("983k", dict(nx=16, ny=16, nz=4)))
+    if os.environ.get("RGT_SCALE_TIERS"):  # comma-separated tier filter
+        keep = set(os.environ["RGT_SCALE_TIERS"].split(","))
+        grids = [g for g in grids if g[0] in keep]
     if os.environ.get("RGT_SCALE_SMOKE"):  # CPU smoke test of the harness
         grids = [("2.7k", dict(nx=2, ny=2, nz=1, n_lat=8, n_lon=16)),
                  ("5.4k", dict(nx=2, ny=2, nz=2, n_lat=8, n_lon=16))]

@@ -52,7 +52,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 256
-TILE_T = 256
+# Triangle-tile (leaf) granularity of the sweep kernels AND the culling
+# hierarchy: smaller tiles cull tighter (fewer executed pairs at scale) but
+# add per-grid-cell scalar/DMA overhead. 256 is the tuned default;
+# RGT_TILE_T is the experiment knob (read at import).
+TILE_T = int(os.environ.get("RGT_TILE_T", "256"))
 
 # MXU matmul precision for the mxu backend (experiment knob, read at trace
 # time). "highest" = 6-pass bf16 decomposition, f32-accurate (~1.6e-7 max

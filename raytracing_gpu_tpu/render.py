@@ -389,6 +389,20 @@ def assemble_gpu_image(colors, cfg: RenderConfig, width: int, height: int):
     return lo[::-1, ::-1]
 
 
+def scene_cache_key(scene) -> tuple:
+    """Hashable AOT-executable cache key for a scene pytree: leaf shapes
+    AND the pytree structure. Scene carries static aux metadata (object/
+    light counts, layout params); two scenes whose PADDED leaf shapes
+    coincide but whose metadata differs must not share an executable — the
+    dispatch would reject the treedef mismatch (found by the first
+    full-corpus native-resolution sweep: triangle-ambient's compiled
+    program was reused for cube)."""
+    return (
+        tuple(jax.tree.map(lambda a: a.shape, jax.tree.leaves(scene))),
+        str(jax.tree.structure(scene)),
+    )
+
+
 class SceneRenderer:
     """Device-resident renderer for repeated frames of one scene.
 
@@ -420,13 +434,7 @@ class SceneRenderer:
             scene, _ = with_accel(scene, cfg.partitioning)
         self.scene = jax.block_until_ready(scene)
         max_nr = float(np.max(np.asarray(scene_host.materials.nr)))
-        # cache key: leaf shapes AND the pytree structure — Scene carries
-        # static aux metadata (object/light counts); two scenes with
-        # identical padded leaf shapes but different metadata must not
-        # share an executable (the call would reject the treedef mismatch)
-        shapes = (tuple(jax.tree.map(lambda a: a.shape,
-                                     jax.tree.leaves(scene))),
-                  str(jax.tree.structure(scene)))
+        shapes = scene_cache_key(scene)
         w, h = self.width, self.height
         if cfg.mode == "cpu":
             cap = (cfg.diff_max_depth if cfg.quantize == "smooth"

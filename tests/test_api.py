@@ -47,3 +47,36 @@ def test_ray_chunking_covers_partial_tail_chunk():
                                                    ray_chunk=256))
         np.testing.assert_array_equal(one, chunked)
         assert one.shape == (12, 20, 3)
+
+
+def test_scene_cache_key_distinguishes_same_shape_scenes():
+    """Two scenes whose PADDED leaf shapes coincide but whose static Scene
+    metadata differs (object/light counts) must get distinct AOT-executable
+    cache keys — regression for the full-corpus sweep failure where
+    triangle-ambient's compiled program was reused for cube and the
+    dispatch died on the pytree-metadata mismatch."""
+    import sys
+    from oracle import oracle_available, scene_text
+
+    if not oracle_available():
+        import pytest
+
+        pytest.skip("reference not mounted")
+    from raytracing_gpu_tpu.models.parser import parse_scene_text
+    from raytracing_gpu_tpu.models.scene import scene_to_device
+    from raytracing_gpu_tpu.render import scene_cache_key
+
+    a = scene_to_device(parse_scene_text(scene_text("triangle-ambient", 32, 32)))
+    b = scene_to_device(parse_scene_text(scene_text("cube-ambient", 32, 32)))
+    ka, kb = scene_cache_key(a), scene_cache_key(b)
+    # the padded LEAF shapes collide (1 tri and 12 tris both pad to 256) —
+    # that collision is exactly what made shapes-only keys unsafe
+    assert ka[0] == kb[0]
+    assert ka != kb
+    hash(ka), hash(kb)  # must be usable as dict keys
+    # scenes differing only in array VALUES (not structure) SHOULD share
+    # an executable — the scene is a runtime argument, not baked in
+    c = scene_to_device(parse_scene_text(scene_text("sphere-spec", 32, 32)))
+    d = scene_to_device(
+        parse_scene_text(scene_text("sphere-spec_smooth", 32, 32)))
+    assert scene_cache_key(c) == scene_cache_key(d)
