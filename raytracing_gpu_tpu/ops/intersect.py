@@ -225,9 +225,19 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
     else:
         mask = pk.tile_cull_mask_hierarchical(op, dp, kpack, partitioning)
         if want_idx:
-            dist, idx = pk.nearest_hit_pallas(op, dp, kpack.v0, kpack.e1,
-                                              kpack.e2, mask, float(mt_eps),
-                                              float(self_hit_eps))
+            # big scenes with real culling: two-round front-to-back sweep
+            # with an occlusion cutoff (identical result, far fewer
+            # executed pair tiles — see nearest_hit_front_to_back)
+            if (pk.F2B_TILES > 0 and partitioning != "none"
+                    and mask.shape[0] > 2 * pk.F2B_TILES):
+                dist, idx = pk.nearest_hit_front_to_back(
+                    op, dp, kpack.v0, kpack.e1, kpack.e2, kpack.tile_aabb,
+                    kpack.tile_nonempty, mask, float(mt_eps),
+                    float(self_hit_eps))
+            else:
+                dist, idx = pk.nearest_hit_pallas(
+                    op, dp, kpack.v0, kpack.e1, kpack.e2, mask,
+                    float(mt_eps), float(self_hit_eps))
         else:
             dist = pk.nearest_dist_pallas(op, dp, kpack.v0, kpack.e1,
                                           kpack.e2, mask, float(mt_eps),

@@ -938,6 +938,17 @@ def tile_cull_mask_interval(op, dp, boxes, nonempty):
     exact builder's O(R * nB): 256x less per level, at the price of
     conservative (never wrong, sometimes loose) culling.
     """
+    hit, _ = _interval_slab(op, dp, boxes, nonempty)
+    return hit.astype(jnp.int32)
+
+
+def _interval_slab(op, dp, boxes, nonempty):
+    """Interval slab core: ((nB, nr) bool hit, (nB, nr) f32 tlo).
+
+    tlo is a SOUND lower bound on the slab-entry parameter t (unnormalized
+    direction units) for any live ray of the tile against the box —
+    tile_entry_lower converts it to a distance lower bound for the
+    front-to-back sweep cutoff."""
     olo, ohi, dlo, dhi, any_live = ray_tile_intervals(op, dp)
     nB = boxes.shape[0]
     nr = olo.shape[1]
@@ -969,7 +980,25 @@ def tile_cull_mask_interval(op, dp, boxes, nonempty):
         thi = jnp.minimum(thi, hi_k)
     hit = (thi >= tlo) & (thi >= 0.0)
     hit &= nonempty[:, None] & any_live[None, :]
-    return hit.astype(jnp.int32)
+    return hit, jnp.maximum(tlo, 0.0)
+
+
+def tile_entry_lower(op, dp, boxes, nonempty):
+    """(nB, nr) f32 SOUND lower bound on the DISTANCE (reference units,
+    t * |d|) at which any live ray of ray tile r can first touch box b;
+    +inf where the pair is culled. Distance = slab t x that ray's |d|;
+    bounding over the tile with min |d| and a 1e-3 relative slack keeps the
+    bound sound against the f32 rounding differences between the slab
+    arithmetic and the sweep kernels' reference-exact distance chain."""
+    hit, tlo = _interval_slab(op, dp, boxes, nonempty)
+    nr = op.shape[1] // TILE_R
+    d2 = (dp * dp).sum(axis=0).reshape(nr, TILE_R)
+    o = op.reshape(3, nr, TILE_R)
+    live = jnp.all(jnp.abs(o) < 1e20, axis=0)  # (nr, TILE_R)
+    dmin = jnp.sqrt(jnp.min(jnp.where(live, d2, _INF), axis=1))  # (nr,)
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 1.0)
+    lower = tlo * dmin[None, :] * 0.999
+    return jnp.where(hit, lower, _INF)
 
 
 def build_tile_levels(tile_aabb, tile_nonempty, branching: int = 8,
@@ -1071,6 +1100,60 @@ def _combine_nearest(dist, idx, dist_c, idx_c):
     does across tiles."""
     better = dist_c < dist
     return jnp.where(better, dist_c, dist), jnp.where(better, idx_c, idx)
+
+
+# Front-to-back occlusion cutoff (round-4 big-tier experiment): at ~1M
+# triangles a frame is 85% sweep kernels (BASELINE.md roofline) and the
+# hierarchy alone still executes ~13% of all pair tiles — the reference's
+# octree DFS wins the same fight with per-ray front-to-back traversal +
+# early exit (gpu/hit.cu:120-169). The batched recast: sweep the K nearest
+# surviving triangle tiles per ray tile first (by a sound lower bound on
+# their entry distance), then sweep only the remaining tiles whose entry
+# bound does not exceed the ray tile's worst nearest-hit-so-far. Exact by
+# construction: a culled tile satisfies entry_lower > max_r(dist_r), so no
+# hit inside it can beat OR tie any ray's current winner
+# (tests/test_pallas.py::test_front_to_back_sweep_bit_exact).
+#
+# MEASURED NEGATIVE at the 983k tier (2026-08-21): 296 ms collide vs 239
+# without — a ray TILE is 64 consecutive pixels of a row, and on the
+# procedural grids (and any scene with visible sky) nearly every such
+# strip contains at least one miss ray, which forces that tile's cutoff to
+# +inf and degenerates round B to the full remainder, leaving only the
+# two-round overhead (second worklist build + entry-bound sort). A cutoff
+# below the RAY-tile granularity needs either 2D-blocked ray order (still
+# poisoned by any sky pixel per 16x16 block) or per-ray masking inside the
+# kernel (breaks the 256-lane batching). Default OFF; RGT_F2B_TILES=<K>
+# enables for occlusion-heavy content where every strip hits (interiors,
+# walls of geometry).
+F2B_TILES = int(os.environ.get("RGT_F2B_TILES", "0"))
+
+
+def nearest_hit_front_to_back(op, dp, v0, e1, e2, tile_aabb, tile_nonempty,
+                              mask, mt_eps: float, self_hit_eps: float,
+                              k_near: int = F2B_TILES):
+    """Two-round nearest hit: (dist (R,), idx (R,)) identical to a single
+    full-mask sweep (min dist, lowest slot on ties — the reference's
+    first-occurrence scan), executing far fewer pair tiles on occluded
+    scenes."""
+    nt, nr = mask.shape
+    tent = tile_entry_lower(op, dp, tile_aabb, tile_nonempty)  # (nt, nr)
+    tent = jnp.where(mask > 0, tent, _INF)
+    kth = jnp.sort(tent, axis=0)[min(k_near, nt) - 1]  # (nr,)
+    near = tent <= kth[None, :]
+    maskA = ((mask > 0) & near).astype(jnp.int32)
+    distA, idxA = nearest_hit_pallas(op, dp, v0, e1, e2, maskA,
+                                     mt_eps, self_hit_eps)
+    # conservative per-ray-tile cutoff: the farthest per-ray nearest hit
+    # (inf as soon as one ray missed -> that ray tile keeps everything)
+    cut = distA.reshape(nr, TILE_R).max(axis=1)  # (nr,)
+    maskB = ((mask > 0) & ~near
+             & (tent <= cut[None, :] * 1.0001)).astype(jnp.int32)
+    distB, idxB = nearest_hit_pallas(op, dp, v0, e1, e2, maskB,
+                                     mt_eps, self_hit_eps)
+    # exact cross-round winner: lexicographic (dist, slot) minimum
+    better = (distB < distA) | ((distB == distA) & (idxB < idxA))
+    return (jnp.where(better, distB, distA),
+            jnp.where(better, idxB, idxA))
 
 
 def tile_worklist(tile_mask):

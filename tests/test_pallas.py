@@ -328,3 +328,43 @@ def test_sweep_kernels_chunk_triangle_axis():
 
     for b, c in zip(jax.tree.leaves(base), jax.tree.leaves(chunked)):
         np.testing.assert_array_equal(b, c)
+
+
+def test_front_to_back_sweep_bit_exact():
+    """The two-round front-to-back sweep (nearest tiles first, occlusion
+    cutoff on the rest — the batched recast of the reference octree DFS's
+    early exit, gpu/hit.cu:120-169) must return EXACTLY the single-sweep
+    result: min dist, lowest slot on ties. k_near is forced tiny so round
+    B really executes; rays include coherent front-hitters, wild randoms,
+    and a parked (dead) tail whose ray tile must keep cutting nothing."""
+    from raytracing_gpu_tpu.models.procedural import make_sphere_grid_scene
+
+    scene = make_sphere_grid_scene(width=8, height=8, nx=2, ny=2, nz=2,
+                                   n_lat=8, n_lon=16)
+    dev = scene_to_device(scene)
+    pack = pk.pack_geometry(dev.geometry.vertices, dev.geometry.valid,
+                            dev.geometry.normals, dev.geometry.tri_obj)
+    rng = np.random.RandomState(3)
+    R = 512
+    o = np.full((R, 3), [0.0, 0.0, -12.0], np.float32)
+    o += rng.rand(R, 3).astype(np.float32) * 0.5
+    d = rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0
+    d[:, 2] = np.abs(d[:, 2]) + 0.5  # mostly toward the grid
+    o[-128:] = 3e29  # parked tail
+    d[-128:] = 0.0
+    op, dp, _ = pk.pack_rays(jnp.asarray(o), jnp.asarray(d))
+    mask = pk.tile_cull_mask_hierarchical(op, dp, pack, "octree")
+    nt = mask.shape[0]
+    assert nt >= 6, f"need several triangle tiles, got {nt}"
+
+    base = jax.tree.map(np.asarray, pk.nearest_hit_pallas(
+        op, dp, pack.v0, pack.e1, pack.e2, mask, 1e-7, 0.01))
+    for k_near in (2, 4):
+        f2b = jax.tree.map(np.asarray, pk.nearest_hit_front_to_back(
+            op, dp, pack.v0, pack.e1, pack.e2, pack.tile_aabb,
+            pack.tile_nonempty, mask, 1e-7, 0.01, k_near=k_near))
+        np.testing.assert_array_equal(base[0], f2b[0])
+        np.testing.assert_array_equal(base[1], f2b[1])
+    # sanity: some rays hit, some missed, so both cutoff regimes ran
+    finite = np.isfinite(base[0])
+    assert finite.any() and (~finite).any()
