@@ -130,8 +130,14 @@ def main() -> None:
     _, floor_step = make_train_step(mesh, cfg, true_scene,
                                     optimizer=optax.set_to_zero())
     geo, rest = split_scene(true_scene)
+    # device-resident step inputs: jnp.asarray inside the loop re-uploads
+    # the whole coord plane + target from host numpy EVERY step (measured
+    # at 256²: ~5 s/step of transfer for a 175 ms step, BASELINE.md
+    # backward-pass correction)
+    coords_d = jnp.asarray(coords)
+    target_d = jnp.asarray(target)
     _, floor = floor_step(init_state(true_params), geo, rest,
-                          jnp.asarray(coords), jnp.asarray(target), n_pixels)
+                          coords_d, target_d, n_pixels)
     floor = float(floor)
     print(f"loss floor at TRUE parameters (oracle quantization): {floor:.3e}")
     ckpt_dir = os.path.join(out_dir, "ckpt")
@@ -141,8 +147,8 @@ def main() -> None:
 
     curve = []
     while int(state.step) < steps:
-        state, loss = step_fn(state, geo, rest, jnp.asarray(coords),
-                              jnp.asarray(target), n_pixels)
+        state, loss = step_fn(state, geo, rest, coords_d, target_d,
+                              n_pixels)
         s = int(state.step)
         kd_err = float(jnp.abs(state.params["kd"] - true_params["kd"]).mean())
         li_err = float(jnp.abs(
