@@ -238,8 +238,35 @@ def _trace_chunked(scene, origins, dirs, cfg, depth, unroll=False,
     return colors.reshape(-1, 3)[:R]
 
 
+def _pick_block(width: int, height: int):
+    """(Bx, By) pixel-block dims for block-swizzled ray order: the largest
+    divisor pair so one 256-ray sweep tile covers a compact 2D block
+    (ideally Bx*By = 64 pixels = exactly one tile) instead of a 64x1 row
+    strip. None when no candidate divides the resolution."""
+    for bx, by in ((8, 8), (16, 4), (4, 16), (32, 2), (2, 32),
+                   (8, 4), (4, 8), (4, 4)):
+        if width % bx == 0 and height % by == 0:
+            return bx, by
+    return None
+
+
+def _swiz_ray_ids(r, width: int, bx: int, by: int):
+    """Block-swizzled ray position -> original ray id (pure integer
+    arithmetic — no lookup tables in the traced program). Swizzled pixel
+    order is block-row-major over (H/by, W/bx) blocks, row-major within a
+    block; the 4 subsamples of a pixel stay adjacent (fold4 contract)."""
+    nbx = width // bx
+    pix = r // 4
+    s = r % 4
+    blkid = pix // (bx * by)
+    within = pix % (bx * by)
+    y = (blkid // nbx) * by + within // bx
+    x = (blkid % nbx) * bx + within % bx
+    return (y * width + x) * 4 + s
+
+
 def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
-                 gpu_semantics=False, fold4=False):
+                 gpu_semantics=False, fold4=False, ray_id_map=None):
     """(n_rays, 3) colors via lax.map over chunk INDICES, generating each
     chunk's plane coords and rays in-body with `coord_fn(ray_ids)`.
 
@@ -276,6 +303,8 @@ def _trace_image(scene, cfg, depth, n_rays: int, coord_fn, unroll=False,
 
     def body(ci):
         r = jnp.minimum(ci * chunk + jnp.arange(chunk), n_rays - 1)
+        if ray_id_map is not None:
+            r = ray_id_map(r)
         coords = coord_fn(r)
         origins, dirs = camera_ops.make_rays(u, v, C, pos, coords)
         if gpu_semantics:
@@ -314,11 +343,34 @@ def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, he
         camera_ops.cpu_subpixel_coords_traced, width, height)
     n_rays = width * height * 4
     fold4 = min(cfg.ray_chunk, n_rays) % 4 == 0
+    # Block-swizzled ray order for the kernel backends on big scenes: a
+    # 256-ray sweep tile becomes a compact 2D pixel block instead of a
+    # 64x1 row strip, so the culling hierarchy's ray-tile shafts are far
+    # tighter (fewer surviving pair tiles at scale). Pure reordering: the
+    # per-ray arithmetic is untouched and the unswizzle below is a
+    # reshape/transpose, so images are bit-identical. Gated to scenes
+    # where culling is the cost (the swizzle itself is a few integer ops
+    # per ray); RGT_BLOCK_RAYS=1/0 forces it for tests/experiments.
+    import os as _os
+
+    blk = _pick_block(width, height) if fold4 else None
+    flag = _os.environ.get("RGT_BLOCK_RAYS", "")
+    swiz = blk is not None and cfg.backend in ("pallas", "mxu") and (
+        flag == "1" or (flag != "0"
+                        and scene.geometry.vertices.shape[0] >= 16384))
+    ray_id_map = (functools.partial(_swiz_ray_ids, width=width,
+                                    bx=blk[0], by=blk[1])
+                  if swiz else None)
     colors = _trace_image(scene, cfg, depth, n_rays, coord_fn, unroll,
-                          fold4=fold4)
+                          fold4=fold4, ray_id_map=ray_id_map)
     if fold4:  # (H*W,3) pixel colors — just finalize + reshape
         cops = ColorOps(cfg.quantize)
-        return cops.finalize(colors).reshape(height, width, 3)
+        out = cops.finalize(colors)
+        if swiz:
+            bx, by = blk
+            return (out.reshape(height // by, width // bx, by, bx, 3)
+                    .transpose(0, 2, 1, 3, 4).reshape(height, width, 3))
+        return out.reshape(height, width, 3)
     return assemble_cpu_image(colors, cfg, width, height)
 
 

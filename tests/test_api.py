@@ -80,3 +80,31 @@ def test_scene_cache_key_distinguishes_same_shape_scenes():
     d = scene_to_device(
         parse_scene_text(scene_text("sphere-spec_smooth", 32, 32)))
     assert scene_cache_key(c) == scene_cache_key(d)
+
+
+def test_block_swizzled_rays_bit_identical():
+    """Block-swizzled ray order (compact 2D pixel blocks per sweep tile —
+    the big-scene culling lever) is pure reordering: per-ray arithmetic is
+    untouched and the unswizzle is a reshape/transpose, so the rendered
+    image must be BIT-IDENTICAL to row-major order on the kernel backend."""
+    import os
+
+    import jax
+
+    scene = make_sphere_scene(width=16, height=16, n_lat=8, n_lon=12)
+    cfg = RenderConfig(mode="cpu", quantize="match", backend="pallas")
+    saved = os.environ.get("RGT_BLOCK_RAYS")
+    try:
+        os.environ["RGT_BLOCK_RAYS"] = "0"
+        jax.clear_caches()  # the flag is read at trace time
+        base = render_scene(scene, cfg)
+        os.environ["RGT_BLOCK_RAYS"] = "1"
+        jax.clear_caches()
+        swiz = render_scene(scene, cfg)
+    finally:
+        if saved is None:
+            os.environ.pop("RGT_BLOCK_RAYS", None)
+        else:
+            os.environ["RGT_BLOCK_RAYS"] = saved
+        jax.clear_caches()
+    np.testing.assert_array_equal(base, swiz)
