@@ -36,6 +36,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from raytracing_gpu_tpu.config import RenderConfig
@@ -180,6 +181,23 @@ def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
     )
 
 
+def _state_shardings(mesh, state):
+    """NamedSharding pytree for a TrainState on `mesh`: leaves living inside
+    a param dict (the params themselves and any optimizer slots mirroring
+    them, e.g. adam's mu/nu) follow PARAM_SPECS; every other leaf (step,
+    optimizer counters) is replicated — exactly the shardings step_fn's
+    outputs carry (shard_map out_specs + elementwise optimizer update)."""
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def spec(path, leaf):
+        for k in reversed(path):
+            if isinstance(k, DictKey) and k.key in PARAM_SPECS:
+                return NamedSharding(mesh, PARAM_SPECS[k.key])
+        return NamedSharding(mesh, P())
+
+    return tree_map_with_path(spec, state)
+
+
 def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
                     learning_rate: float = 1e-2):
     """Build (init_state, step_fn) for inverse rendering on `scene`'s
@@ -199,15 +217,18 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
     depth = required_depth(max_nr, cfg.reflect_cutoff, cfg.diff_max_depth)
 
     def init_state(params):
-        # NOTE: the first step_fn call on a fresh state compiles; the SECOND
-        # call retraces once more (the fresh state's uncommitted host avals
-        # differ from step_fn's committed, sharding-annotated outputs) — a
-        # full recompile (~50 s at 256²). Steady state begins at call 3.
-        # benches/train_bench.py warms through it before timing; the
-        # round-3 bench did not, silently amortizing the recompile into its
-        # reps and recording 6,354 ms/step for what is a ~175 ms step.
-        return TrainState(params=params, opt_state=optimizer.init(params),
-                          step=jnp.zeros((), jnp.int32))
+        # Commit every leaf to the exact NamedSharding step_fn's outputs
+        # carry. Without this the first step_fn call compiles against the
+        # fresh state's uncommitted single-device placements and the SECOND
+        # call (fed step 1's committed, sharding-annotated outputs) missed
+        # the jit cache — a hidden full recompile (~50 s at 256²) every API
+        # user paid silently (the round-3 bench even amortized it into its
+        # reps, recording 6,354 ms/step for a ~175 ms step). With committed
+        # inputs, calls 1..n share ONE compile
+        # (tests/test_parallel.py::test_train_step_single_compile).
+        state = TrainState(params=params, opt_state=optimizer.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        return jax.device_put(state, _state_shardings(mesh, state))
 
     @functools.partial(jax.jit, static_argnames=("n_pixels",))
     def step_fn(state, fixed_geo, fixed_rest, coords, target, n_pixels):

@@ -78,6 +78,30 @@ def edge_mask(img: np.ndarray, thresh: int = 8, dilate: int = 1) -> np.ndarray:
     return m
 
 
+def max_outlier_run(mask: np.ndarray) -> int:
+    """Longest run of consecutive True pixels along any single column or row
+    of a boolean (H, W) mask.
+
+    The structure detector for the comparator: tolerated off-edge outliers
+    are ulp-tie decision flips, which land as ISOLATED pixels (measured
+    across the 20-scene full-res corpus: max run 2; even the u=0 seam
+    columns of spheres / sphere-specular scatter their flips down the
+    column). A contiguous stripe — the signature of a systematic winner or
+    addressing bug — forms a long run even when its count and magnitude fit
+    the scalar budgets.
+    """
+    m = np.asarray(mask, bool)
+    if m.ndim != 2 or not m.any():
+        return int(m.any())
+    best = 0
+    for arr in (m, m.T):  # runs down columns, then along rows
+        run = np.zeros(arr.shape[1], np.int32)
+        for row in arr:
+            run = (run + 1) * row
+            best = max(best, int(run.max()))
+    return best
+
+
 def assert_images_close(
     a: np.ndarray,
     b: np.ndarray,
@@ -87,6 +111,7 @@ def assert_images_close(
     edge_thresh: int = 8,
     max_frac_off_edge: float = 5e-5,
     max_off_edge_mag: int = 80,
+    max_off_edge_run: int = 4,
     context: str = "",
 ) -> ImageDiff:
     """Assert `a` matches golden `b` up to FP-boundary effects.
@@ -137,11 +162,18 @@ def assert_images_close(
     # localized rendering artifact of arbitrary brightness must not hide
     # inside the count budget.
     off_edge_mag = int(per_pix[off_edge_bad].max()) if off_edge_bad.any() else 0
+    # ... and in STRUCTURE: a contiguous column/row stripe of outliers is a
+    # systematic artifact even when count and magnitude fit the budgets
+    # (ulp-tie flips are isolated — measured max run 2 corpus-wide, so the
+    # default cap of 4 rejects any ~30-pixel stripe while passing every
+    # measured flip map). See max_outlier_run.
+    off_edge_run = max_outlier_run(off_edge_bad)
     # frac limit applies to pixels beyond tol (all necessarily on edges);
     # within-tol truncation jitter is unbounded in count by design
     ok = (
         int(off_edge_bad.sum()) <= max_off_edge
         and off_edge_mag <= max_off_edge_mag
+        and off_edge_run <= max_off_edge_run
         and d.frac_bad <= max_frac_diff
         and d.mean_abs <= max_mean_abs
     )
@@ -152,7 +184,8 @@ def assert_images_close(
             y, x = ys[0], xs[0]
             detail = (
                 f"; {len(ys)} off-edge pixels differ (max|d|={off_edge_mag}, "
-                f"budget {max_off_edge}@<={max_off_edge_mag}), e.g. ({y},{x}) "
+                f"run={off_edge_run}, budget {max_off_edge}@<="
+                f"{max_off_edge_mag} run<={max_off_edge_run}), e.g. ({y},{x}) "
                 f"ours={a[y, x].tolist()} golden={b[y, x].tolist()}"
             )
         raise AssertionError(

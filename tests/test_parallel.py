@@ -158,6 +158,37 @@ def test_train_step_accelerated(scene, backend, partitioning):
     assert losses[-1] < losses[0] * 0.95, losses
 
 
+def test_train_step_single_compile(scene):
+    """init_state commits the fresh state to step_fn's output shardings, so
+    the whole training loop compiles step_fn exactly ONCE: before the fix,
+    call 2 (fed step 1's committed, sharding-annotated outputs) missed the
+    jit cache and silently recompiled — ~50 s at 256² on the chip."""
+    from jax._src import test_util as jtu
+
+    W = H = 8
+    cfg = RenderConfig(mode="cpu", quantize="smooth", ray_chunk=256,
+                       diff_max_depth=2)
+    dev = scene_to_device(scene)
+    mesh = make_mesh(4, 2)
+    coords = jnp.asarray(
+        np.asarray(camera_ops.cpu_subpixel_coords(W, H)).reshape(-1, 2))
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    init_state, step_fn = make_train_step(mesh, cfg, dev)
+    state = init_state(extract_params(dev))
+    geo, rest = split_scene(dev)
+    # call 1 compiles step_fn (plus any eagerly-jitted helpers it calls);
+    # every later call must add ZERO misses — before the fix, call 2 (fed
+    # step 1's committed, sharding-annotated outputs) recompiled step_fn.
+    misses = []
+    for _ in range(3):
+        with jtu.count_jit_compilation_cache_miss() as count:
+            state, loss = step_fn(state, geo, rest, coords, target, W * H)
+        misses.append(count())
+    assert misses[0] >= 1, misses
+    assert misses[1] == 0 and misses[2] == 0, misses
+    assert np.isfinite(float(loss))
+
+
 def test_vertex_grads_flow_through_scene_sharding(scene):
     """d(loss)/d(vertices) must be nonzero and finite with triangles sharded
     over the scene axis (exercises the all_gather transpose)."""
