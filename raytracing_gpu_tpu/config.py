@@ -83,6 +83,28 @@ class RenderConfig:
         backward-pass memory stays O(1) in depth instead of O(depth)
         (activations are recomputed bounce-by-bounce on the backward sweep).
         No effect on the while_loop path or on forward-only renders.
+      block_rays: block-swizzled ray order on the kernel backends ("auto" |
+        "on" | "off"): each 256-ray sweep tile covers a compact 2D pixel
+        block instead of a 64x1 row strip, tightening the culling
+        hierarchy's ray-tile shafts. Pure reordering — images are
+        bit-identical (tests/test_api.py). "auto" enables it on scenes
+        >= 16384 triangles, where culling dominates (measured −24% frame
+        time at 983k triangles; a slight loss on small dense scenes).
+      f2b_tiles: K > 0 enables the two-round front-to-back sweep with an
+        occlusion cutoff on large culled scenes (sweep the K nearest
+        surviving triangle tiles per ray tile first, then only tiles whose
+        sound entry-distance bound beats the worst nearest-hit-so-far).
+        Bit-identical by construction; measured a LOSS on open scenes (any
+        sky ray poisons its ray tile's cutoff — BASELINE.md front-to-back
+        section), so default 0 (off); for occlusion-saturated content
+        (interiors) set K ~ 8-32.
+
+    Both participate in the jit/AOT executable cache key like every other
+    field (the dataclass is frozen/hashable and passed static). The only
+    remaining env knobs are import-time kernel-structure experiments
+    (RGT_TILE_T, RGT_MXU_PRECISION — ops/pallas_intersect.py): they alter
+    module-level tile constants, so they cannot vary per render and must be
+    set before first import.
     """
 
     mode: str = "cpu"
@@ -101,6 +123,8 @@ class RenderConfig:
     pad_objects: int = 8
     unroll: str = "auto"
     remat: bool = True
+    block_rays: str = "auto"
+    f2b_tiles: int = 0
 
     def resolve_unroll(self) -> bool:
         """True when the bounce loops should statically unroll (the
@@ -120,3 +144,7 @@ class RenderConfig:
             raise ValueError(f"bad backend {self.backend!r}")
         if self.unroll not in ("auto", "while", "static"):
             raise ValueError(f"bad unroll {self.unroll!r}")
+        if self.block_rays not in ("auto", "on", "off"):
+            raise ValueError(f"bad block_rays {self.block_rays!r}")
+        if self.f2b_tiles < 0:
+            raise ValueError(f"f2b_tiles must be >= 0, got {self.f2b_tiles}")

@@ -160,7 +160,8 @@ def _mt_core(origins, dirs, vertices, normals, valid, mt_eps, self_hit_eps,
 
 def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
                     mxu: bool = False, pack=None, want_idx: bool = True,
-                    partitioning: str = "octree"):
+                    partitioning: str = "octree",
+                    f2b_tiles: int | None = None):
     """(wdist, win) via the Pallas pair-tile kernel (+tile-level culling).
 
     mxu=True uses the matmul formulation (pallas_intersect.nearest_hit_mxu):
@@ -227,13 +228,17 @@ def _pallas_nearest(origins, dirs, geometry, mt_eps, self_hit_eps,
         if want_idx:
             # big scenes with real culling: two-round front-to-back sweep
             # with an occlusion cutoff (identical result, far fewer
-            # executed pair tiles — see nearest_hit_front_to_back)
-            if (pk.F2B_TILES > 0 and partitioning != "none"
-                    and mask.shape[0] > 2 * pk.F2B_TILES):
+            # executed pair tiles — see nearest_hit_front_to_back).
+            # K comes from cfg.f2b_tiles via the caller; None falls back to
+            # the RGT_F2B_TILES import-time default for direct kernel
+            # experiments.
+            k_f2b = pk.F2B_TILES if f2b_tiles is None else f2b_tiles
+            if (k_f2b > 0 and partitioning != "none"
+                    and mask.shape[0] > 2 * k_f2b):
                 dist, idx = pk.nearest_hit_front_to_back(
                     op, dp, kpack.v0, kpack.e1, kpack.e2, kpack.tile_aabb,
                     kpack.tile_nonempty, mask, float(mt_eps),
-                    float(self_hit_eps))
+                    float(self_hit_eps), k_near=k_f2b)
             else:
                 dist, idx = pk.nearest_hit_pallas(
                     op, dp, kpack.v0, kpack.e1, kpack.e2, mask,
@@ -297,7 +302,8 @@ def _winner_uvt(origins, dirs, geometry, win, mt_eps):
 
 def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
             scene_axis: str | None = None, backend: str = "jnp",
-            pack=None, partitioning: str = "octree") -> Hit:
+            pack=None, partitioning: str = "octree",
+            f2b_tiles: int | None = None) -> Hit:
     """Nearest hit over all triangles — `collide` (cpu/hit.c:72-91).
 
     Differentiable: the winner index is discrete (piecewise-constant) but the
@@ -321,7 +327,8 @@ def collide(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
         wdist, idx, pack = _pallas_nearest(origins, dirs, geometry, mt_eps,
                                            self_hit_eps,
                                            mxu=backend == "mxu", pack=pack,
-                                           partitioning=partitioning)
+                                           partitioning=partitioning,
+                                           f2b_tiles=f2b_tiles)
         mask = jnp.isfinite(wdist)
         # The fetch kernel pulls the winner's v0/e1/e2/normals/obj (and, on
         # 32-wide tables, the owning object's materials) from the clustered

@@ -101,7 +101,8 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, depth: int,
 
     def step(o, d, coef, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend, pack, cfg.partitioning)
+                      scene_axis, cfg.backend, pack, cfg.partitioning,
+                      f2b_tiles=cfg.f2b_tiles if cfg.f2b_tiles > 0 else None)
         use = alive & (coef >= cfg.reflect_cutoff) & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
                       cfg.backend, pack, cfg.partitioning)
@@ -170,7 +171,8 @@ def trace_rays_gpu(scene: Scene, origins, dirs, cfg: RenderConfig,
 
     def step(o, d, nr_acc, alive, color):
         hit = collide(o, d, scene.geometry, cfg.mt_eps, cfg.self_hit_eps,
-                      scene_axis, cfg.backend, pack, cfg.partitioning)
+                      scene_axis, cfg.backend, pack, cfg.partitioning,
+                      f2b_tiles=cfg.f2b_tiles if cfg.f2b_tiles > 0 else None)
         use = alive & hit.mask
         local = shade(scene, hit, cops, cfg.mt_eps, cfg.self_hit_eps, scene_axis,
                       cfg.backend, pack, cfg.partitioning)
@@ -350,14 +352,14 @@ def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, he
     # per-ray arithmetic is untouched and the unswizzle below is a
     # reshape/transpose, so images are bit-identical. Gated to scenes
     # where culling is the cost (the swizzle itself is a few integer ops
-    # per ray); RGT_BLOCK_RAYS=1/0 forces it for tests/experiments.
-    import os as _os
-
+    # per ray); cfg.block_rays="on"/"off" forces it — a static config
+    # field, so it participates in the jit/AOT cache key (ADVICE r4: the
+    # env-var predecessor was read at trace time but not cache-keyed).
     blk = _pick_block(width, height) if fold4 else None
-    flag = _os.environ.get("RGT_BLOCK_RAYS", "")
     swiz = blk is not None and cfg.backend in ("pallas", "mxu") and (
-        flag == "1" or (flag != "0"
-                        and scene.geometry.vertices.shape[0] >= 16384))
+        cfg.block_rays == "on"
+        or (cfg.block_rays == "auto"
+            and scene.geometry.vertices.shape[0] >= 16384))
     ray_id_map = (functools.partial(_swiz_ray_ids, width=width,
                                     bx=blk[0], by=blk[1])
                   if swiz else None)

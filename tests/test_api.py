@@ -87,24 +87,28 @@ def test_block_swizzled_rays_bit_identical():
     the big-scene culling lever) is pure reordering: per-ray arithmetic is
     untouched and the unswizzle is a reshape/transpose, so the rendered
     image must be BIT-IDENTICAL to row-major order on the kernel backend."""
-    import os
-
-    import jax
+    import dataclasses
 
     scene = make_sphere_scene(width=16, height=16, n_lat=8, n_lon=12)
-    cfg = RenderConfig(mode="cpu", quantize="match", backend="pallas")
-    saved = os.environ.get("RGT_BLOCK_RAYS")
-    try:
-        os.environ["RGT_BLOCK_RAYS"] = "0"
-        jax.clear_caches()  # the flag is read at trace time
-        base = render_scene(scene, cfg)
-        os.environ["RGT_BLOCK_RAYS"] = "1"
-        jax.clear_caches()
-        swiz = render_scene(scene, cfg)
-    finally:
-        if saved is None:
-            os.environ.pop("RGT_BLOCK_RAYS", None)
-        else:
-            os.environ["RGT_BLOCK_RAYS"] = saved
-        jax.clear_caches()
+    cfg = RenderConfig(mode="cpu", quantize="match", backend="pallas",
+                       block_rays="off")
+    base = render_scene(scene, cfg)
+    # block_rays is a static config field: flipping it reaches a DIFFERENT
+    # cached executable, no cache clearing needed (ADVICE r4 — the env-var
+    # predecessor was read at trace time but not cache-keyed)
+    swiz = render_scene(scene, dataclasses.replace(cfg, block_rays="on"))
     np.testing.assert_array_equal(base, swiz)
+
+
+def test_f2b_tiles_config_bit_identical():
+    """cfg.f2b_tiles threads through collide to the two-round front-to-back
+    sweep (round 5: config field replaces the RGT_F2B_TILES env route on the
+    render path) — bit-identical images by construction."""
+    import dataclasses
+
+    # big enough that nt > 2*K actually engages the two-round sweep
+    scene = make_sphere_scene(width=16, height=16, n_lat=20, n_lon=26)
+    cfg = RenderConfig(mode="cpu", quantize="match", backend="pallas")
+    base = render_scene(scene, cfg)
+    f2b = render_scene(scene, dataclasses.replace(cfg, f2b_tiles=1))
+    np.testing.assert_array_equal(base, f2b)
