@@ -445,6 +445,48 @@ def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
     )
 
 
+def collide_any(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
+                scene_axis: str | None = None, backend: str = "jnp",
+                pack=None, partitioning: str = "octree"):
+    """(R,) bool — ANY accepted hit, the shadow consumer's true semantics.
+
+    `has_direct_hit` (cpu/light.c:24-31) occludes on ANY hit: the nested
+    `if (fdist < 1) if (fdist == 0)` makes its distance comparison dead
+    code, so the shadow path never needs the nearest distance. On the
+    pallas backend this runs a dedicated any-hit kernel whose ray tiles
+    early-out once every live lane is occluded (pallas_intersect._any_kernel
+    — the reference's per-thread shadow early exit, recast at tile
+    granularity); elsewhere it derives from collide_dist, whose 0.0-on-miss
+    contract makes `!= 0.0` the identical boolean by construction
+    (tests/test_pallas.py::test_any_hit_matches_dist).
+    """
+    if backend == "pallas":
+        from raytracing_gpu_tpu.ops import pallas_intersect as pk
+
+        origins = jax.lax.stop_gradient(origins)
+        dirs = jax.lax.stop_gradient(dirs)
+        if pack is None:
+            pack = pk.pack_geometry(geometry.vertices, geometry.valid,
+                                    geometry.normals, geometry.tri_obj)
+        kpack = jax.tree.map(
+            lambda x: None if x is None else jax.lax.stop_gradient(x), pack,
+            is_leaf=lambda x: x is None,
+        )
+        op, dp, R = pk.pack_rays(origins, dirs)
+        mask = pk.tile_cull_mask_hierarchical(op, dp, kpack, partitioning)
+        occ = pk.any_hit_pallas(op, dp, kpack.v0, kpack.e1, kpack.e2, mask,
+                                float(mt_eps), float(self_hit_eps))[:R]
+        from jax.ad_checkpoint import checkpoint_name
+
+        occ = checkpoint_name(occ, "sweep_any")  # see _pallas_nearest
+        if scene_axis is not None:
+            occ = jax.lax.pmax(occ.astype(jnp.int32), scene_axis) > 0
+        return occ
+    fd = collide_dist(origins, dirs, geometry, mt_eps, self_hit_eps,
+                      scene_axis, backend, pack, partitioning)
+    return fd != 0.0
+
+
 def collide_dist(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
                  scene_axis: str | None = None, backend: str = "jnp",
                  pack=None, partitioning: str = "octree"):

@@ -328,6 +328,100 @@ def nearest_dist_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
     return dist.reshape(R)
 
 
+def _any_kernel(order_ref, count_ref, dead_ref, o_ref, d_ref, v0_ref, e1_ref,
+                e2_ref, occ_ref, *, mt_eps, self_hit_eps):
+    """Boolean ANY-hit sweep with a per-ray-tile all-occluded early-out.
+
+    The shadow consumer's actual semantics: `has_direct_hit`
+    (cpu/light.c:24-31) occludes on ANY accepted hit — the nested
+    `if (fdist < 1) if (fdist == 0)` makes the distance comparison dead
+    code — so the min-dist bookkeeping of _dist_kernel is wasted work, and
+    once every live ray of a ray tile is occluded, every remaining triangle
+    tile on that tile's worklist is dead: the reference's per-thread shadow
+    early exit (the `return` inside collide_dist's caller), recast at tile
+    granularity. Dead/parked ray lanes (origin >= 1e20 — shadow rays of
+    missed primaries; their results are discarded by the caller's hit.mask)
+    are seeded OCCLUDED via dead_ref so a few parked lanes cannot pin an
+    otherwise-saturated tile; the wrapper clears them after the sweep.
+
+    The check costs one (1, TILE_R) reduction per executed cell vs the
+    ~60-op (TILE_T, TILE_R) Möller–Trumbore tile it can skip.
+    """
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+    i = order_ref[j, k]
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        occ_ref[:, :] = dead_ref[:, :]
+
+    @pl.when(k < count_ref[j])
+    def _():
+        row = occ_ref[pl.ds(i, 1), :]  # (1, TILE_R) int32 0/1
+
+        @pl.when(jnp.sum(row) < TILE_R)
+        def _():
+            dist = _mt_tile(o_ref, d_ref, v0_ref, e1_ref, e2_ref,
+                            mt_eps, self_hit_eps)
+            hit = jnp.any(dist < _INF, axis=0, keepdims=True)  # (1, TILE_R)
+            occ_ref[pl.ds(i, 1), :] = row | hit.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mt_eps", "self_hit_eps"))
+def any_hit_pallas(origins_p, dirs_p, v0, e1, e2, tile_mask,
+                   mt_eps: float, self_hit_eps: float):
+    """(R,) bool — True iff the ray has ANY accepted hit (the shadow-ray
+    occlusion test). Exactly `nearest_dist_pallas(...) != 0`: acceptance is
+    the identical `ok` chain, only the min-dist fold is dropped. Dead rays
+    (parked origin >= 1e20) report False."""
+    R = origins_p.shape[1]
+    T = v0.shape[0]
+    nr, nt = R // TILE_R, T // TILE_T
+    live = jnp.all(jnp.abs(origins_p) < 1e20, axis=0)  # (R,)
+    dead2d = (~live).reshape(nr, TILE_R).astype(jnp.int32)
+    kernel = functools.partial(
+        _any_kernel, mt_eps=mt_eps, self_hit_eps=self_hit_eps
+    )
+    ray_ix = lambda j, k, order, count: (0, order[j, k])
+    tri_ix = lambda j, k, order, count: (j, 0)
+
+    occ = None
+    for s, n in _tri_tile_chunks(nt, nr):
+        lo, hi = s * TILE_T, (s + n) * TILE_T
+        order, count = tile_worklist(tile_mask[s:s + n])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n, nr),
+            in_specs=[
+                pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, TILE_R), ray_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_T, 3), tri_ix, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nr, TILE_R), lambda j, k, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        o_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nr, TILE_R), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(nr) * int(n) * TILE_R * TILE_T * 60,
+                bytes_accessed=(nr * 7 * TILE_R + n * 9 * TILE_T) * 4,
+                transcendentals=nr * n * TILE_R,
+            ),
+            interpret=_interpret(),
+        )(order, count, dead2d, origins_p, dirs_p,
+          v0[lo:hi], e1[lo:hi], e2[lo:hi])
+        occ = o_c if occ is None else occ | o_c
+    # later chunks re-seed dead lanes to 1; clear them (and any lane the
+    # seeding set) so dead rays report unoccluded like collide_dist's 0.0
+    return (occ.reshape(R) > 0) & live
+
+
 # ---------------------------------------------------------------------------
 # Winner-row fetch kernel
 #

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from raytracing_gpu_tpu.models.scene import AMBIENT, DIRECTIONAL, POINT
 from raytracing_gpu_tpu.ops.colors import ColorOps
-from raytracing_gpu_tpu.ops.intersect import Hit, collide_dist
+from raytracing_gpu_tpu.ops.intersect import Hit, collide_any
 
 
 def _dot(a, b):
@@ -125,9 +125,12 @@ def shade(scene, hit: Hit, cops: ColorOps, mt_eps=1e-7, self_hit_eps=0.01,
         so = jnp.tile(hp_shadow, (K, 1))
         sd = jnp.concatenate(sdirs, axis=0)
         sd = jnp.where(jnp.tile(hit.mask, (K,))[:, None], sd, 0.0)
-        fd = collide_dist(so, sd, scene.geometry, mt_eps, self_hit_eps,
+        # boolean ANY-hit (the has_direct_hit quirk: any hit occludes,
+        # distance is dead code) — on the pallas backend this is a cheaper
+        # dedicated kernel with a per-ray-tile all-occluded early-out
+        occ = collide_any(so, sd, scene.geometry, mt_eps, self_hit_eps,
                           scene_axis, backend, pack, partitioning)
-        occluded_all = (fd != 0.0).reshape(K, R)  # has_direct_hit quirk
+        occluded_all = occ.reshape(K, R)
     else:
         occluded_all = None
 

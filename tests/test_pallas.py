@@ -368,3 +368,53 @@ def test_front_to_back_sweep_bit_exact():
     # sanity: some rays hit, some missed, so both cutoff regimes ran
     finite = np.isfinite(base[0])
     assert finite.any() and (~finite).any()
+
+
+def test_any_hit_matches_dist(scene):
+    """The any-hit shadow kernel (round 5: dedicated boolean sweep with a
+    per-ray-tile all-occluded early-out) must equal `nearest_dist != 0`
+    exactly — same acceptance chain, no min-dist fold — including parked
+    (dead) rays, which report unoccluded like collide_dist's 0.0."""
+    from raytracing_gpu_tpu.ops.intersect import collide_any, collide_dist
+
+    dev = scene_to_device(scene)
+    rng = np.random.RandomState(7)
+    R = 512
+    o = rng.rand(R, 3).astype(np.float32) * 6.0 - 3.0
+    d = rng.rand(R, 3).astype(np.float32) * 2.0 - 1.0
+    # park a scattered third of the rays exactly like the shading path does
+    parked = rng.rand(R) < 0.33
+    o[parked] = 3e29
+    d[parked] = 0.0
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    for partitioning in ("none", "octree"):
+        occ = np.asarray(collide_any(o, d, dev.geometry, backend="pallas",
+                                     partitioning=partitioning))
+        fd = np.asarray(collide_dist(o, d, dev.geometry, backend="pallas",
+                                     partitioning=partitioning))
+        np.testing.assert_array_equal(occ, fd != 0.0,
+                                      err_msg=f"partitioning={partitioning}")
+        assert not occ[np.asarray(parked)].any()
+    # jnp fallback derives from collide_dist — boolean identical too
+    occ_jnp = np.asarray(collide_any(o, d, dev.geometry, backend="jnp"))
+    fd_jnp = np.asarray(collide_dist(o, d, dev.geometry, backend="jnp"))
+    np.testing.assert_array_equal(occ_jnp, fd_jnp != 0.0)
+
+
+def test_any_hit_early_out_saturated_tile(scene):
+    """A ray tile whose every live lane is occluded must still report the
+    exact boolean (the early-out skips only provably-dead work): build a
+    full TILE_R of rays aimed straight at the sphere so the tile saturates
+    on the first triangle tile."""
+    from raytracing_gpu_tpu.ops.intersect import collide_any, collide_dist
+
+    dev = scene_to_device(scene)
+    R = pk.TILE_R
+    # straight down onto the ground quad at y=0: every lane hits
+    o = np.tile(np.array([[0.0, 5.0, 0.0]], np.float32), (R, 1))
+    d = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (R, 1))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    occ = np.asarray(collide_any(o, d, dev.geometry, backend="pallas"))
+    fd = np.asarray(collide_dist(o, d, dev.geometry, backend="pallas"))
+    np.testing.assert_array_equal(occ, fd != 0.0)
+    assert occ.all()
