@@ -18,7 +18,18 @@ Usage (CPU, ~2 min):
     python examples/inverse_rendering.py
 Options: RGT_DEMO_SCENE (default cube), RGT_DEMO_RES (default 32),
 RGT_DEMO_STEPS (default 80), RGT_DEMO_BACKEND (default jnp; pallas on TPU),
-RGT_DEMO_OUT (default /tmp/rgt_inverse_demo).
+RGT_DEMO_OUT (default /tmp/rgt_inverse_demo), RGT_DEMO_FREE (comma list of
+free parameter groups, default "kd"; e.g. "kd,vertices,lights_v" perturbs
+and recovers diffuse colors + mesh vertex positions + light directions
+simultaneously — the committed TPU showcase in examples/artifacts/ runs
+this at susan 256x256, see README).
+
+The committed artifact (examples/artifacts/inverse_susan_256/) was produced
+on the TPU chip with:
+    RGT_TEST_TPU=1 RGT_DEMO_SCENE=susan RGT_DEMO_RES=256 \
+    RGT_DEMO_BACKEND=pallas RGT_DEMO_FREE=kd,vertices,lights_v \
+    RGT_DEMO_STEPS=300 RGT_DEMO_OUT=examples/artifacts/inverse_susan_256 \
+    python examples/inverse_rendering.py
 """
 
 from __future__ import annotations
@@ -74,6 +85,7 @@ def main() -> None:
     steps = int(os.environ.get("RGT_DEMO_STEPS", "80"))
     backend = os.environ.get("RGT_DEMO_BACKEND", "jnp")
     out_dir = os.environ.get("RGT_DEMO_OUT", "/tmp/rgt_inverse_demo")
+    free = tuple(os.environ.get("RGT_DEMO_FREE", "kd").split(","))
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- golden target straight from the C reference renderer
@@ -84,15 +96,31 @@ def main() -> None:
     true_scene = scene_to_device(scene_host)
     true_params = extract_params(true_scene)
 
-    # ---- perturb: wrong diffuse on every object (lights/geometry known —
-    # kd and light color are multiplicatively coupled in Phong shading, so
-    # freeing both recovers only their product)
+    # ---- perturb every FREE parameter group (the others stay true):
+    # kd: wrong diffuse on every object. vertices: gaussian jitter scaled
+    # to the mesh extent (the mesh visibly dents). lights_v: wrong
+    # direction/position per light. Light COLOR stays frozen even when kd
+    # is free: kd and light rgb are multiplicatively coupled in Phong
+    # shading, so freeing both recovers only their product.
     rng = np.random.RandomState(0)
     params = extract_params(true_scene)
-    kd = np.asarray(params["kd"])
-    params["kd"] = jnp.asarray(
-        np.clip(kd + rng.uniform(-0.3, 0.3, kd.shape).astype(np.float32),
-                0.05, 1.0))
+    if "kd" in free:
+        kd = np.asarray(params["kd"])
+        params["kd"] = jnp.asarray(
+            np.clip(kd + rng.uniform(-0.3, 0.3, kd.shape).astype(np.float32),
+                    0.05, 1.0))
+    if "vertices" in free:
+        v = np.asarray(params["vertices"])
+        valid = np.asarray(true_scene.geometry.valid)
+        ext = float(v[valid].max() - v[valid].min()) if valid.any() else 1.0
+        noise = rng.normal(0.0, 0.004 * ext, v.shape).astype(np.float32)
+        noise[~valid] = 0.0
+        params["vertices"] = jnp.asarray(v + noise)
+    if "lights_v" in free:
+        lv = np.asarray(params["lights_v"])
+        params["lights_v"] = jnp.asarray(
+            lv + rng.uniform(-0.15, 0.15, lv.shape).astype(np.float32)
+            * np.maximum(np.abs(lv), 1.0))
 
     cfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
                        partitioning="octree", ray_chunk=4096,
@@ -107,19 +135,31 @@ def main() -> None:
     before = render_scene(insert_params(scene_host, params), match_cfg)
     write_ppm(os.path.join(out_dir, "before.ppm"), before)
     write_ppm(os.path.join(out_dir, "target.ppm"), golden)
+    from raytracing_gpu_tpu.utils.image import write_png
 
-    # optimize only the perturbed parameters (kd + light colors): geometry
-    # and camera are known here, and leaving them free lets the optimizer
-    # "explain" color error with vertex motion
+    write_png(os.path.join(out_dir, "before.png"),
+              np.trunc(before).astype(np.uint8))
+    write_png(os.path.join(out_dir, "target.png"),
+              np.trunc(golden).astype(np.uint8))
+
+    # optimize only the perturbed parameter groups: every frozen group is
+    # known exactly, so the optimizer cannot "explain" one group's error
+    # with another group's motion
     import optax
 
     from raytracing_gpu_tpu.parallel.train import PARAM_SPECS
 
-    free = ("kd",)
+    # per-group learning rates: vertex coordinates live on the mesh's
+    # world scale and need far smaller steps than unit-scale colors, or
+    # adam walks the geometry to "explain" color error (measured: kd error
+    # INCREASES while the loss falls under a single shared lr)
+    lr = {"kd": 1e-2, "vertices": 1e-3, "lights_v": 3e-3}
     opt = optax.chain(
         optax.masked(optax.set_to_zero(),
                      {k: k not in free for k in PARAM_SPECS}),
-        optax.adam(1e-2),
+        optax.multi_transform(
+            {k: optax.adam(lr.get(k, 1e-2)) for k in PARAM_SPECS},
+            {k: k for k in PARAM_SPECS}),
     )
     init_state, step_fn = make_train_step(mesh, cfg, true_scene,
                                           optimizer=opt)
@@ -145,34 +185,56 @@ def main() -> None:
     if resumed:
         print(f"resumed from checkpoint at step {int(state.step)}")
 
+    import time as _time
+
+    err_keys = [k for k in ("kd", "vertices", "lights_v") if k in free]
+    vmask = np.asarray(true_scene.geometry.valid)
+
+    def errs(p):
+        out = []
+        for k in err_keys:
+            d = jnp.abs(p[k] - true_params[k])
+            if k == "vertices":  # only real triangles (padding stays 0)
+                d = d[jnp.asarray(vmask)]
+            out.append(float(d.mean()))
+        return out
+
     curve = []
+    t0 = _time.perf_counter()
     while int(state.step) < steps:
         state, loss = step_fn(state, geo, rest, coords_d, target_d,
                               n_pixels)
         s = int(state.step)
-        kd_err = float(jnp.abs(state.params["kd"] - true_params["kd"]).mean())
-        li_err = float(jnp.abs(
-            state.params["lights_rgb"] - true_params["lights_rgb"]).mean())  # 0 by construction
-        curve.append((s, float(loss), kd_err, li_err))
+        e = errs(state.params)
+        curve.append((s, float(loss), *e))
         if s % 10 == 0 or s == steps:
-            print(f"step {s:4d}  loss {float(loss):.3e}  "
-                  f"kd err {kd_err:.4f}  light err {li_err:.4f}", flush=True)
+            msg = "  ".join(f"{k} err {v:.5f}" for k, v in zip(err_keys, e))
+            print(f"step {s:4d}  loss {float(loss):.3e}  {msg}", flush=True)
         if s % 25 == 0:
             save_train_state(ckpt_dir, state)
     save_train_state(ckpt_dir, state)
+    dt = _time.perf_counter() - t0
+    n_done = len(curve)
+    if n_done:
+        print(f"{n_done} steps in {dt:.1f}s ({dt / n_done * 1e3:.0f} ms/step"
+              f", {res}x{res}, backend={backend})")
 
     csv = os.path.join(out_dir, "convergence.csv")
     with open(csv, "w") as f:
-        f.write("step,loss,kd_mean_abs_err,light_mean_abs_err\n")
+        f.write("step,loss," + ",".join(f"{k}_mean_abs_err"
+                                        for k in err_keys) + "\n")
         for row in curve:
             f.write(",".join(str(x) for x in row) + "\n")
 
     after = render_scene(insert_params(scene_host, state.params), match_cfg)
     write_ppm(os.path.join(out_dir, "after.ppm"), after)
+    write_png(os.path.join(out_dir, "after.png"),
+              np.trunc(after).astype(np.uint8))
 
     first, last = curve[0], curve[-1]
-    print(f"\nloss {first[1]:.3e} -> {last[1]:.3e} (floor {floor:.3e})  "
-          f"kd err {first[2]:.4f} -> {last[2]:.4f}")
+    print(f"\nloss {first[1]:.3e} -> {last[1]:.3e} (floor {floor:.3e})")
+    for ix, k in enumerate(err_keys):
+        print(f"  {k} err {first[2 + ix]:.5f} -> {last[2 + ix]:.5f}")
     print(f"artifacts in {out_dir}: before/after/target.ppm, "
           f"convergence.csv, ckpt/")
     excess0, excess1 = first[1] - floor, last[1] - floor

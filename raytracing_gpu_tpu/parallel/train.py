@@ -189,10 +189,17 @@ def _state_shardings(mesh, state):
     outputs carry (shard_map out_specs + elementwise optimizer update)."""
     from jax.tree_util import DictKey, tree_map_with_path
 
+    shapes = {k: jnp.shape(v) for k, v in state.params.items()}
+
     def spec(path, leaf):
         for k in reversed(path):
             if isinstance(k, DictKey) and k.key in PARAM_SPECS:
-                return NamedSharding(mesh, PARAM_SPECS[k.key])
+                # shape must match the param: optimizer wrappers also nest
+                # scalar counters under param-named label keys
+                # (optax.multi_transform), which must stay replicated
+                if jnp.shape(leaf) == shapes[k.key]:
+                    return NamedSharding(mesh, PARAM_SPECS[k.key])
+                break
         return NamedSharding(mesh, P())
 
     return tree_map_with_path(spec, state)

@@ -329,16 +329,18 @@ def _fold_subsamples(colors, cfg: RenderConfig):
     reference's subsample order with clamped ops (cpu/raytracer.c:55-68) —
     the arithmetic of assemble_cpu_image's fold, applied per chunk.
 
-    Strided slices (`colors[s::4]`) instead of `reshape(-1, 4, 3)[:, s]`:
-    identical rows in identical order, but the reshape forced XLA to
-    materialize a re-tiled copy of the whole chunk's subsample buffer
-    (reshape.34 + copy.67 in the traced susan frame, 1.8 ms of 16.4) while
-    strided loads fuse straight into the add/mul loop fusion.
+    Layout note (measured, round 5): the reshape makes XLA materialize a
+    re-tiled copy of the chunk's subsample buffer (reshape.34 + copy.67,
+    1.8 ms of the 16.4 ms susan frame) — but the "obvious" fix of strided
+    slices (`colors[s::4]`) is WORSE (+0.8 ms net): stride-4 access on the
+    sublane axis defeats the (8,128) tiling and XLA's windowed loads cost
+    more than the one coalesced relayout. Kept as the faster measured form.
     """
     cops = ColorOps(cfg.quantize)
-    acc = cops.zeros((colors.shape[0] // 4,))
+    sub = colors.reshape(-1, 4, 3)
+    acc = cops.zeros((sub.shape[0],))
     for s in range(4):
-        acc = cops.add(acc, cops.mul(colors[s::4], 0.25))
+        acc = cops.add(acc, cops.mul(sub[:, s, :], 0.25))
     return acc
 
 

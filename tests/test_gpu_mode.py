@@ -116,12 +116,11 @@ def test_unroll_vs_while_parity_on_mirror_scene():
                 np.testing.assert_array_equal(np.trunc(w), np.trunc(s))
 
 
-# Full-resolution gpu-mode certification on the real chip (VERDICT r3 #4):
-# the reference's actual GPU product pipeline (aliasing=3 supersampling +
+# Full-resolution gpu-mode certification on the real chip (VERDICT r3 #4,
+# extended to the FULL corpus in round 5 per VERDICT r4 #4): the
+# reference's actual GPU product pipeline (aliasing=3 supersampling +
 # shallow-first bounce accumulation + box downscale, gpu/rt.cpp:67-96 +
-# gpu/raytracer.cu:49-128) run at the resolution the scene files declare,
-# on >=3 behavior classes: point-light shadows (cube), the octree mesh path
-# with smooth normals (susan), and 6-light Nr=0.85 mirrors (spheres).
+# gpu/raytracer.cu:49-128) run at the resolution the scene files declare.
 # No CUDA oracle exists in this environment, so certification is (a)
 # cross-backend parity — the hand-written Pallas kernel path against the
 # pure-XLA jnp path, two independently compiled programs of the same
@@ -129,9 +128,26 @@ def test_unroll_vs_while_parity_on_mirror_scene():
 # golden pinning the pallas output against regressions (regenerate with
 # RGT_UPDATE_GOLDENS=1; also writes a PNG artifact next to it).
 GPUMODE_FULLRES = [
+    ("triangle", 512, 512),
+    ("triangle-ambient", 512, 512),
+    ("triangle-left-ambient", 512, 512),
     ("cube", 512, 512),
+    ("cube-ambient", 512, 512),
     ("susan", 512, 512),
+    ("secret", 512, 512),
+    ("secret2", 512, 512),
+    ("sphere-spec", 512, 512),
+    ("sphere-spec_smooth", 512, 512),
+    ("sphere-specular", 512, 512),
+    ("point-light", 960, 540),
+    ("dir-light-shadows", 960, 540),
+    ("lighthouse", 960, 540),
+    ("car", 960, 540),
     ("spheres", 960, 540),
+    ("car-on-road", 960, 540),
+    ("dark-night", 960, 540),
+    ("island_smooth", 960, 540),
+    ("susans_smooth", 960, 540),
 ]
 
 

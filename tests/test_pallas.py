@@ -375,8 +375,11 @@ def test_any_hit_matches_dist(scene):
     per-ray-tile all-occluded early-out) must equal `nearest_dist != 0`
     exactly — same acceptance chain, no min-dist fold — including parked
     (dead) rays, which report unoccluded like collide_dist's 0.0."""
+    from raytracing_gpu_tpu.ops import intersect
     from raytracing_gpu_tpu.ops.intersect import collide_any, collide_dist
 
+    monkeypatch = pytest.MonkeyPatch()
+    monkeypatch.setattr(intersect, "ANY_HIT_MIN_TRIS", 0)  # force the kernel
     dev = scene_to_device(scene)
     rng = np.random.RandomState(7)
     R = 512
@@ -399,6 +402,10 @@ def test_any_hit_matches_dist(scene):
     occ_jnp = np.asarray(collide_any(o, d, dev.geometry, backend="jnp"))
     fd_jnp = np.asarray(collide_dist(o, d, dev.geometry, backend="jnp"))
     np.testing.assert_array_equal(occ_jnp, fd_jnp != 0.0)
+    monkeypatch.undo()
+    # below the size gate the pallas route falls back to collide_dist too
+    occ_small = np.asarray(collide_any(o, d, dev.geometry, backend="pallas"))
+    np.testing.assert_array_equal(occ_small, fd != 0.0)
 
 
 def test_any_hit_early_out_saturated_tile(scene):
@@ -406,8 +413,11 @@ def test_any_hit_early_out_saturated_tile(scene):
     exact boolean (the early-out skips only provably-dead work): build a
     full TILE_R of rays aimed straight at the sphere so the tile saturates
     on the first triangle tile."""
+    from raytracing_gpu_tpu.ops import intersect
     from raytracing_gpu_tpu.ops.intersect import collide_any, collide_dist
 
+    monkeypatch = pytest.MonkeyPatch()
+    monkeypatch.setattr(intersect, "ANY_HIT_MIN_TRIS", 0)  # force the kernel
     dev = scene_to_device(scene)
     R = pk.TILE_R
     # straight down onto the ground quad at y=0: every lane hits
@@ -418,3 +428,4 @@ def test_any_hit_early_out_saturated_tile(scene):
     fd = np.asarray(collide_dist(o, d, dev.geometry, backend="pallas"))
     np.testing.assert_array_equal(occ, fd != 0.0)
     assert occ.all()
+    monkeypatch.undo()
