@@ -86,12 +86,23 @@ def main() -> None:
     backend = os.environ.get("RGT_DEMO_BACKEND", "jnp")
     out_dir = os.environ.get("RGT_DEMO_OUT", "/tmp/rgt_inverse_demo")
     free = tuple(os.environ.get("RGT_DEMO_FREE", "kd").split(","))
+    kd_noise = float(os.environ.get("RGT_DEMO_KDNOISE", "0.3"))
+    v_noise = float(os.environ.get("RGT_DEMO_VNOISE", "0.004"))
+    l_noise = float(os.environ.get("RGT_DEMO_LNOISE", "0.15"))
+    ray_chunk = int(os.environ.get("RGT_DEMO_CHUNK", "4096"))
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- golden target straight from the C reference renderer
+    # ---- target: the C reference's golden render (default), or the
+    # framework's own smooth-mode render of the TRUE scene
+    # (RGT_DEMO_TARGET=self). The oracle target carries its per-op-clamped
+    # uint8 quantization, so the MSE's minimum is NOT exactly at the true
+    # parameters — fine for single-group recovery (kd), but joint
+    # kd+vertices+lights recovery will overfit that quantization noise
+    # (measured: loss drops BELOW the true-parameter floor while parameter
+    # errors grow). target=self places the global minimum exactly at the
+    # true parameters, making multi-group recovery well-posed.
+    target_mode = os.environ.get("RGT_DEMO_TARGET", "oracle")
     golden = oracle.oracle_render(name, res, res).astype(np.float32)  # [0,255]
-    target = (golden / 255.0).reshape(-1, 3)
-
     scene_host = parse_scene_text(oracle.scene_text(name, res, res))
     true_scene = scene_to_device(scene_host)
     true_params = extract_params(true_scene)
@@ -106,25 +117,42 @@ def main() -> None:
     params = extract_params(true_scene)
     if "kd" in free:
         kd = np.asarray(params["kd"])
-        params["kd"] = jnp.asarray(
-            np.clip(kd + rng.uniform(-0.3, 0.3, kd.shape).astype(np.float32),
-                    0.05, 1.0))
+        params["kd"] = jnp.asarray(np.clip(
+            kd + rng.uniform(-kd_noise, kd_noise, kd.shape).astype(np.float32),
+            0.05, 1.0))
     if "vertices" in free:
         v = np.asarray(params["vertices"])
         valid = np.asarray(true_scene.geometry.valid)
         ext = float(v[valid].max() - v[valid].min()) if valid.any() else 1.0
-        noise = rng.normal(0.0, 0.004 * ext, v.shape).astype(np.float32)
+        noise = rng.normal(0.0, v_noise * ext, v.shape).astype(np.float32)
         noise[~valid] = 0.0
         params["vertices"] = jnp.asarray(v + noise)
     if "lights_v" in free:
         lv = np.asarray(params["lights_v"])
         params["lights_v"] = jnp.asarray(
-            lv + rng.uniform(-0.15, 0.15, lv.shape).astype(np.float32)
+            lv + rng.uniform(-l_noise, l_noise, lv.shape).astype(np.float32)
             * np.maximum(np.abs(lv), 1.0))
 
     cfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
-                       partitioning="octree", ray_chunk=4096,
+                       partitioning="octree", ray_chunk=ray_chunk,
                        diff_max_depth=2)
+    coords_arr = np.asarray(
+        camera_ops.cpu_subpixel_coords(res, res)).reshape(-1, 2)
+    if target_mode == "self":
+        # the EXACT training prediction at the true parameters: the MSE's
+        # global minimum is then exactly the true parameters (floor ~ 0)
+        from raytracing_gpu_tpu.parallel.train import predict_pixels
+        from raytracing_gpu_tpu.render import required_depth
+
+        tdepth = required_depth(
+            float(np.max(np.asarray(scene_host.materials.nr))),
+            cfg.reflect_cutoff, cfg.diff_max_depth)
+        target = np.asarray(jax.jit(
+            lambda s, c: predict_pixels(s, cfg, tdepth, c)
+        )(true_scene, jnp.asarray(coords_arr)))
+        golden = np.clip(target.reshape(res, res, 3), 0.0, 1.0) * 255.0
+    else:
+        target = (golden / 255.0).reshape(-1, 3)
     n_dev = min(8, len(jax.devices()))
     mesh = make_mesh(n_dev, 1)
     n_pixels = res * res

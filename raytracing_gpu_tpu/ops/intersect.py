@@ -445,11 +445,17 @@ def _combine_shard_hits(hit: Hit, axis_name: str) -> Hit:
     )
 
 
-# Minimum triangle count for the dedicated any-hit shadow kernel (the
-# block_rays threshold): below it the dist-only sweep is faster (see
-# collide_any's gate comment). Module constant so tests can force the
-# kernel path on small scenes.
-ANY_HIT_MIN_TRIS = 16384
+# Minimum triangle count for the dedicated any-hit shadow kernel.
+# MEASURED DEFAULT-OFF (round 5, on-chip A/B, images bit-identical in every
+# cell): vs row-major ray order the early-out is a big win (983k-tri grid
+# shadow sweeps 146.8 -> 91.5 ms/frame), but the production path block-
+# swizzles rays at that scale, and against swizzled order the whole-frame
+# numbers are a slight LOSS (983k: 378.3 any-hit vs 372.8 dist; susan 512²:
+# +0.4 ms) — the swizzle's tighter shafts already removed the saturated
+# tiles the cutoff would skip, leaving only the per-cell occlusion-check
+# stall. Kept as an opt-in (patch this constant) for unswizzlable ray
+# distributions; tests force it to 0 to cover the kernel.
+ANY_HIT_MIN_TRIS = 1 << 30
 
 
 def collide_any(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
@@ -467,10 +473,9 @@ def collide_any(origins, dirs, geometry, mt_eps=1e-7, self_hit_eps=0.01,
     contract makes `!= 0.0` the identical boolean by construction
     (tests/test_pallas.py::test_any_hit_matches_dist).
     """
-    # Gate on scene size (same 16k-triangle threshold as block_rays): the
-    # early-out pays only where shadow tiles actually saturate — measured
-    # −56 ms/frame at the 983k tier (146.8 -> 91.5) but +0.4 ms on susan
-    # 512², where the per-cell occlusion check stalls more than it skips.
+    # Size-gated opt-in; see ANY_HIT_MIN_TRIS for the measured story (the
+    # kernel only pays where shadow ray tiles saturate, which the
+    # block-swizzled production ray order already prevents).
     if backend == "pallas" and geometry.vertices.shape[0] >= ANY_HIT_MIN_TRIS:
         from raytracing_gpu_tpu.ops import pallas_intersect as pk
 
