@@ -132,6 +132,16 @@ def main() -> None:
         params["lights_v"] = jnp.asarray(
             lv + rng.uniform(-l_noise, l_noise, lv.shape).astype(np.float32)
             * np.maximum(np.abs(lv), 1.0))
+    if "normals" in free:
+        # perturb per-vertex normals (smooth shading: diffuse/specular are
+        # SMOOTH in N, so recovery is well-posed, unlike silhouette-bound
+        # vertex positions — see README on hard-visibility gradients)
+        n = np.asarray(params["normals"])
+        valid = np.asarray(true_scene.geometry.valid)
+        scale = float(np.abs(n[valid]).mean()) if valid.any() else 1.0
+        nn = rng.normal(0.0, 0.15 * scale, n.shape).astype(np.float32)
+        nn[~valid] = 0.0
+        params["normals"] = jnp.asarray(n + nn)
 
     cfg = RenderConfig(mode="cpu", quantize="smooth", backend=backend,
                        partitioning="octree", ray_chunk=ray_chunk,
@@ -154,6 +164,8 @@ def main() -> None:
     else:
         target = (golden / 255.0).reshape(-1, 3)
     n_dev = min(8, len(jax.devices()))
+    if float(os.environ.get("RGT_DEMO_BLUR", "0")) > 0:
+        n_dev = 1  # loss_blur windows cannot straddle tile shards
     mesh = make_mesh(n_dev, 1)
     n_pixels = res * res
     coords = np.asarray(camera_ops.cpu_subpixel_coords(res, res)).reshape(-1, 2)
@@ -180,23 +192,33 @@ def main() -> None:
     # per-group learning rates: vertex coordinates live on the mesh's
     # world scale and need far smaller steps than unit-scale colors, or
     # adam walks the geometry to "explain" color error (measured: kd error
-    # INCREASES while the loss falls under a single shared lr)
-    lr = {"kd": 1e-2, "vertices": 1e-3, "lights_v": 3e-3}
+    # INCREASES while the loss falls under a single shared lr). Override
+    # with RGT_DEMO_LRS="vertices=1e-4,lights_v=1e-3". Global-norm clipping
+    # tames the near-discontinuity gradient spikes of hard winner
+    # selection (measured |grad| ~1e3 on vertex coords near silhouettes).
+    lr = {"kd": 1e-2, "vertices": 1e-3, "lights_v": 3e-3, "normals": 3e-3}
+    for kv in filter(None, os.environ.get("RGT_DEMO_LRS", "").split(",")):
+        k, _, v = kv.partition("=")
+        lr[k.strip()] = float(v)
     opt = optax.chain(
         optax.masked(optax.set_to_zero(),
                      {k: k not in free for k in PARAM_SPECS}),
+        optax.clip_by_global_norm(1.0),
         optax.multi_transform(
             {k: optax.adam(lr.get(k, 1e-2)) for k in PARAM_SPECS},
             {k: k for k in PARAM_SPECS}),
     )
+    loss_blur = float(os.environ.get("RGT_DEMO_BLUR", "0"))
     init_state, step_fn = make_train_step(mesh, cfg, true_scene,
-                                          optimizer=opt)
+                                          optimizer=opt,
+                                          loss_blur=loss_blur)
     # loss floor: even the TRUE parameters don't reach zero against the
     # oracle target (the oracle clamps at every color op and truncates to
     # uint8; the differentiable path is linear) — convergence is measured
     # as excess loss over this floor
     _, floor_step = make_train_step(mesh, cfg, true_scene,
-                                    optimizer=optax.set_to_zero())
+                                    optimizer=optax.set_to_zero(),
+                                    loss_blur=loss_blur)
     geo, rest = split_scene(true_scene)
     # device-resident step inputs: jnp.asarray inside the loop re-uploads
     # the whole coord plane + target from host numpy EVERY step (measured
@@ -215,14 +237,15 @@ def main() -> None:
 
     import time as _time
 
-    err_keys = [k for k in ("kd", "vertices", "lights_v") if k in free]
+    err_keys = [k for k in ("kd", "vertices", "normals", "lights_v")
+                if k in free]
     vmask = np.asarray(true_scene.geometry.valid)
 
     def errs(p):
         out = []
         for k in err_keys:
             d = jnp.abs(p[k] - true_params[k])
-            if k == "vertices":  # only real triangles (padding stays 0)
+            if k in ("vertices", "normals"):  # only real triangles
                 d = d[jnp.asarray(vmask)]
             out.append(float(d.mean()))
         return out

@@ -24,10 +24,15 @@ def _checkpointer():
 
 
 def save_train_state(directory: str, state: TrainState) -> str:
-    """Write the TrainState under `directory` (one checkpoint per step)."""
+    """Write the TrainState under `directory` (one checkpoint per step).
+
+    Idempotent per step: re-saving the same step (e.g. a periodic save at
+    the loop tail followed by the final save) overwrites instead of
+    raising orbax's destination-exists error.
+    """
     step = int(jax.device_get(state.step))
     path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
-    _checkpointer().save(path, jax.device_get(state))
+    _checkpointer().save(path, jax.device_get(state), force=True)
     return path
 
 

@@ -135,9 +135,56 @@ def predict_pixels(scene: Scene, cfg: RenderConfig, depth: int, coords,
     return colors.reshape(-1, 4, 3).mean(axis=1)
 
 
-def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
+def _blur_residual(err, n_pixels: int, sigma: float):
+    """Separable gaussian blur of a per-pixel residual (n_pixels, 3) laid
+    out as a row-major square image — an optional low-pass weighting of
+    the image loss (de-emphasizes single-pixel residuals relative to
+    broad-area shading error). Blur is linear, so blur(pred) -
+    blur(target) == blur(pred - target) and the minimum stays exactly at
+    residual == 0 (the true parameters for self targets).
+
+    What it does NOT do (measured, round 5): restore gradients across hard
+    visibility boundaries. The rendered image is itself piecewise-constant
+    in silhouette/shadow-edge POSITION (hard winner selection), and
+    blurring downstream of a discontinuous function cannot create a
+    derivative that isn't there — vertex-position recovery on spheres
+    diverges identically with and without blur. Boundary gradients need
+    renderer-level softening (soft rasterization / edge sampling), which
+    is out of scope for reference parity; see README "differentiability
+    boundaries"."""
+    import numpy as _np
+
+    H = W = int(round(n_pixels ** 0.5))
+    if H * W != n_pixels:
+        raise ValueError("loss_blur needs a square image "
+                         f"(n_pixels={n_pixels})")
+    r = max(1, int(round(3.0 * sigma)))
+    x = _np.arange(-r, r + 1, dtype=_np.float32)
+    k = _np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum())
+    img = err.reshape(H, W, 3)
+
+    def conv(a, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        ap = jnp.pad(a, pad, mode="edge")
+        out = jnp.zeros_like(a)
+        for i in range(2 * r + 1):  # static unroll, ~9 shifted adds
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i, i + a.shape[axis])
+            out = out + k[i] * ap[tuple(sl)]
+        return out
+
+    return conv(conv(img, 0), 1).reshape(-1, 3)
+
+
+def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int,
+                       loss_blur: float = 0.0):
     """Per-device loss+grad under shard_map; psum over tiles inside."""
     scene_axis = SCENE if mesh.shape[SCENE] > 1 else None
+    if loss_blur > 0.0 and mesh.shape[TILES] > 1:
+        raise ValueError("loss_blur requires tiles=1 (the blur window "
+                         "would straddle tile-shard boundaries)")
 
     def device_fn(params, fixed_geo, fixed_rest, coords, target):
         def local_loss(params):
@@ -179,6 +226,8 @@ def _loss_and_grads_fn(mesh, cfg: RenderConfig, depth: int, n_pixels: int):
             # writeout; target must be in the same [0,1] units
             pred = colors.reshape(-1, 4, 3).mean(axis=1)
             err = pred - target
+            if loss_blur > 0.0:
+                err = _blur_residual(err, n_pixels, loss_blur)
             return jnp.sum(err * err)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
@@ -224,7 +273,7 @@ def _state_shardings(mesh, state):
 
 
 def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
-                    learning_rate: float = 1e-2):
+                    learning_rate: float = 1e-2, loss_blur: float = 0.0):
     """Build (init_state, step_fn) for inverse rendering on `scene`'s
     structure.
 
@@ -262,7 +311,8 @@ def make_train_step(mesh, cfg: RenderConfig, scene: Scene, optimizer=None,
         # per-step rebuild inside device_fn replaces it
         fixed_geo = dataclasses.replace(fixed_geo, obj_aabb=None,
                                         octree=None)
-        loss, grads = _loss_and_grads_fn(mesh, cfg, depth, n_pixels)(
+        loss, grads = _loss_and_grads_fn(mesh, cfg, depth, n_pixels,
+                                         loss_blur)(
             state.params, fixed_geo, fixed_rest, coords, target
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -112,6 +112,7 @@ def assert_images_close(
     max_frac_off_edge: float = 5e-5,
     max_off_edge_mag: int = 80,
     max_off_edge_run: int = 4,
+    run_mag_floor: int = 8,
     context: str = "",
 ) -> ImageDiff:
     """Assert `a` matches golden `b` up to FP-boundary effects.
@@ -163,11 +164,16 @@ def assert_images_close(
     # inside the count budget.
     off_edge_mag = int(per_pix[off_edge_bad].max()) if off_edge_bad.any() else 0
     # ... and in STRUCTURE: a contiguous column/row stripe of outliers is a
-    # systematic artifact even when count and magnitude fit the budgets
-    # (ulp-tie flips are isolated — measured max run 2 corpus-wide, so the
-    # default cap of 4 rejects any ~30-pixel stripe while passing every
-    # measured flip map). See max_outlier_run.
-    off_edge_run = max_outlier_run(off_edge_bad)
+    # systematic artifact even when count and magnitude fit the budgets.
+    # Only outliers ABOVE run_mag_floor count toward a run: a displaced
+    # silhouette in a mirror reflection (two separately compiled backends
+    # shift a reflected edge by one pixel) produces short contiguous
+    # strings of |d| <= ~4 that are legitimate FP-flip fallout — measured
+    # run 6 of mag <= 3 on spheres gpu-mode pallas-vs-jnp — while a real
+    # addressing/winner bug paints full-contrast pixels. The VERDICT r4
+    # scenario (a 30-pixel column stripe of magnitude 10) still fails.
+    off_edge_run = max_outlier_run(off_edge_bad
+                                   & (per_pix > max(tol, run_mag_floor)))
     # frac limit applies to pixels beyond tol (all necessarily on edges);
     # within-tol truncation jitter is unbounded in count by design
     ok = (

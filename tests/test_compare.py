@@ -77,3 +77,18 @@ def test_short_runs_within_cap_pass():
     ours = golden.copy()
     ours[10:12, 5, :] = 120  # 2-run: within the default cap of 4
     assert_images_close(ours, golden, max_frac_off_edge=4e-4)
+
+
+def test_low_magnitude_runs_pass():
+    """Short contiguous strings of small-magnitude off-edge diffs (a mirror
+    reflection's silhouette shifting a pixel between two separately
+    compiled backends — measured run 6 of |d|<=3 on spheres gpu-mode) are
+    below run_mag_floor and must pass; the same run at magnitude 10 fails."""
+    golden = _flat_image()
+    low = golden.copy()
+    low[200:212, 300, :] = 104  # 12-run, |d| = 4 <= run_mag_floor
+    assert_images_close(low, golden, max_frac_off_edge=4e-4)
+    high = golden.copy()
+    high[200:212, 300, :] = 110  # same run at |d| = 10 -> structural
+    with pytest.raises(AssertionError, match="run="):
+        assert_images_close(high, golden, max_frac_off_edge=4e-4)
