@@ -115,11 +115,15 @@ def main() -> None:
     # shading, so freeing both recovers only their product.
     rng = np.random.RandomState(0)
     params = extract_params(true_scene)
+    n_obj = true_scene.n_objects
     if "kd" in free:
+        # perturb REAL objects only: padded material rows receive no
+        # gradient (no triangle maps to them), so noise there would sit in
+        # the error metric forever
         kd = np.asarray(params["kd"])
-        params["kd"] = jnp.asarray(np.clip(
-            kd + rng.uniform(-kd_noise, kd_noise, kd.shape).astype(np.float32),
-            0.05, 1.0))
+        noise = rng.uniform(-kd_noise, kd_noise, kd.shape).astype(np.float32)
+        noise[n_obj:] = 0.0
+        params["kd"] = jnp.asarray(np.clip(kd + noise, 0.05, 1.0))
     if "vertices" in free:
         v = np.asarray(params["vertices"])
         valid = np.asarray(true_scene.geometry.valid)
@@ -247,6 +251,8 @@ def main() -> None:
             d = jnp.abs(p[k] - true_params[k])
             if k in ("vertices", "normals"):  # only real triangles
                 d = d[jnp.asarray(vmask)]
+            elif k == "kd":  # only real objects (padding rows are inert)
+                d = d[:true_scene.n_objects]
             out.append(float(d.mean()))
         return out
 
