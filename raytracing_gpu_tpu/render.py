@@ -329,18 +329,21 @@ def _fold_subsamples(colors, cfg: RenderConfig):
     reference's subsample order with clamped ops (cpu/raytracer.c:55-68) —
     the arithmetic of assemble_cpu_image's fold, applied per chunk.
 
-    Layout note (measured, round 5): the reshape makes XLA materialize a
-    re-tiled copy of the chunk's subsample buffer (reshape.34 + copy.67,
-    1.8 ms of the 16.4 ms susan frame) — but the "obvious" fix of strided
-    slices (`colors[s::4]`) is WORSE (+0.8 ms net): stride-4 access on the
-    sublane axis defeats the (8,128) tiling and XLA's windowed loads cost
-    more than the one coalesced relayout. Kept as the faster measured form.
+    Layout note (measured on-chip, round 5, all bit-identical):
+    - `reshape(-1, 4, 3)` + axis-1 slices made XLA materialize a re-tiled
+      copy of the chunk's subsample buffer (reshape.34 + copy.67, ~1.8 ms
+      of the susan frame): 16.02 ms/frame.
+    - stride-4 row slices (`colors[s::4]`) were WORSE (+0.8 ms): sublane
+      strides defeat the (8,128) tiling.
+    - `reshape(-1, 12)` + minor-dim column slices (here): the reshape is
+      layout-free (4 row-major rows of 3 = 12 contiguous) and the lane
+      slices fuse into the add/mul loop: 15.68 ms/frame.
     """
     cops = ColorOps(cfg.quantize)
-    sub = colors.reshape(-1, 4, 3)
-    acc = cops.zeros((sub.shape[0],))
+    x12 = colors.reshape(-1, 12)
+    acc = cops.zeros((x12.shape[0],))
     for s in range(4):
-        acc = cops.add(acc, cops.mul(sub[:, s, :], 0.25))
+        acc = cops.add(acc, cops.mul(x12[:, 3 * s:3 * s + 3], 0.25))
     return acc
 
 
@@ -395,10 +398,10 @@ def assemble_cpu_image(colors, cfg: RenderConfig, width: int, height: int):
     value-identical (row-major reshape) without the layout change.
     """
     cops = ColorOps(cfg.quantize)
-    sub = colors.reshape(-1, 4, 3)
-    acc = cops.zeros((sub.shape[0],))
+    x12 = colors.reshape(-1, 12)  # layout-free; see _fold_subsamples
+    acc = cops.zeros((x12.shape[0],))
     for s in range(4):
-        acc = cops.add(acc, cops.mul(sub[:, s, :], 0.25))
+        acc = cops.add(acc, cops.mul(x12[:, 3 * s:3 * s + 3], 0.25))
     return cops.finalize(acc).reshape(height, width, 3)
 
 
