@@ -108,12 +108,12 @@ def main() -> None:
         state, loss = step_fn(state, geo, rest, coords_d, target_d, n_pixels)
         hard_sync(loss)
         compile_s = time.perf_counter() - t0
-        # The SECOND call retraces: the fresh optimizer state's weak-typed
-        # scalars are promoted to strong types by the first update, changing
-        # input avals — a full ~50 s recompile that the round-3 bench
-        # silently averaged into its reps (recorded 6,354 ms/step was
-        # (recompile + 9 real steps)/10; the real step is ~175 ms). Warm
-        # through it before timing.
+        # Historical: the SECOND call used to retrace (~50 s) because the
+        # fresh state's uncommitted placements missed the jit cache; round 5
+        # fixed init_state to commit the state to step_fn's output
+        # shardings, and this timing now RECORDS that the fix holds on the
+        # chip (retrace_s ~0.5 s = dispatch, no recompile — 2026-08-21:
+        # 0.5/0.6 s vs 48.8/77.9 s first compiles).
         t0 = time.perf_counter()
         state, loss = step_fn(state, geo, rest, coords_d, target_d, n_pixels)
         hard_sync(loss)
