@@ -87,9 +87,11 @@ class RenderConfig:
         "on" | "off"): each 256-ray sweep tile covers a compact 2D pixel
         block instead of a 64x1 row strip, tightening the culling
         hierarchy's ray-tile shafts. Pure reordering — images are
-        bit-identical (tests/test_api.py). "auto" enables it on scenes
-        >= 16384 triangles, where culling dominates (measured −24% frame
-        time at 983k triangles; a slight loss on small dense scenes).
+        bit-identical (tests/test_api.py). "auto" == on whenever a block
+        shape divides the resolution: measured a win at every corpus size
+        against the round-5 frame profile (susan 512² −10%, cube −7%,
+        spheres 960x540 −14%, 983k grid −24%); "off" restores row-major
+        order for experiments.
       f2b_tiles: K > 0 enables the two-round front-to-back sweep with an
         occlusion cutoff on large culled scenes (sweep the K nearest
         surviving triangle tiles per ray tile first, then only tiles whose

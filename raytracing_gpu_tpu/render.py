@@ -366,11 +366,16 @@ def _render_cpu_mode(scene: Scene, cfg: RenderConfig, depth: int, width: int, he
     # per ray); cfg.block_rays="on"/"off" forces it — a static config
     # field, so it participates in the jit/AOT cache key (ADVICE r4: the
     # env-var predecessor was read at trace time but not cache-keyed).
+    # "auto" now means ON whenever a block shape divides the resolution:
+    # round 4 gated it to >=16k triangles after measuring a small-scene
+    # loss, but against the round-5 frame profile (small-table fetch +
+    # layout-free fold) it wins at EVERY corpus size — re-measured
+    # 2026-08-21, bit-identical images: susan 512² 15.65 -> 14.10 ms,
+    # cube 512² 10.11 -> 9.42, spheres 960x540 581.6 -> 501.7,
+    # lighthouse 960x540 28.2 -> 25.1, 983k grid -24% (round 4).
     blk = _pick_block(width, height) if fold4 else None
     swiz = blk is not None and cfg.backend in ("pallas", "mxu") and (
-        cfg.block_rays == "on"
-        or (cfg.block_rays == "auto"
-            and scene.geometry.vertices.shape[0] >= 16384))
+        cfg.block_rays in ("on", "auto"))
     ray_id_map = (functools.partial(_swiz_ray_ids, width=width,
                                     bx=blk[0], by=blk[1])
                   if swiz else None)
