@@ -112,3 +112,18 @@ def test_f2b_tiles_config_bit_identical():
     base = render_scene(scene, cfg)
     f2b = render_scene(scene, dataclasses.replace(cfg, f2b_tiles=1))
     np.testing.assert_array_equal(base, f2b)
+
+
+def test_block_swizzle_non_square_resolution():
+    """Swizzle must stay bit-identical at non-square, non-8-divisible
+    resolutions (the 960x540-class fallback picks a smaller block shape;
+    20x12 exercises the (4,4) candidate)."""
+    import dataclasses
+
+    scene = make_sphere_scene(width=20, height=12, n_lat=8, n_lon=12)
+    cfg = RenderConfig(mode="cpu", quantize="match", backend="pallas",
+                       block_rays="off")
+    base = render_scene(scene, cfg)
+    swiz = render_scene(scene, dataclasses.replace(cfg, block_rays="on"))
+    np.testing.assert_array_equal(base, swiz)
+    assert base.shape == (12, 20, 3)
